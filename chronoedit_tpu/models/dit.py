@@ -1,0 +1,396 @@
+"""Wan-style diffusion transformer (ChronoEdit-14B backbone), TPU-first.
+
+Architecture parity with the reference ``ChronoEditTransformer3DModel``
+(``chronoedit_diffusers/transformer_chronoedit.py``) / native ``WanModel``
+(``chronoedit/_src/networks/wan2pt1.py``):
+
+- Conv3d (1,2,2) patch-embed == reshape + matmul here (kernel==stride makes
+  them identical; the reshape+matmul form feeds the MXU directly).
+- N blocks of: AdaLN-zero 6-way modulation from a per-block
+  ``scale_shift_table`` + shared time projection; self-attention with 3D
+  (temporal-skip) RoPE and "rms_norm_across_heads" qk-norm; I2V
+  cross-attention over 512 text tokens plus a separate 257-token CLIP image
+  branch whose outputs are summed (transformer_chronoedit.py:81-104);
+  gelu-tanh FFN.
+- fp32 norms/modulation/residual-adds with a bf16 stream, fp32 RoPE from
+  float64 host tables (see core.rope).
+
+TPU-first design choices (not translations):
+
+- All blocks are weight-stacked and driven by one ``lax.scan`` — one block
+  trace regardless of depth, small compile, natural remat boundary, and the
+  layout XLA wants for fsdp-sharded weights.
+- Timesteps are always handled per-latent-frame ((B, T); a scalar timestep is
+  a broadcast), so the same compiled function serves diffusers-style
+  inference and the native per-frame training API (wan2pt1.py:745-757).
+- Modulation runs on a (B, T, HW, D) view of the token stream so per-frame
+  AdaLN never materializes per-token modulation tensors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from chronoedit_tpu.core.rope import Rope3DSpec, rope_3d_tables, temporal_skip_rope_tables
+from chronoedit_tpu.ops import layers as L
+from chronoedit_tpu.ops.attention import dot_product_attention
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class DiTConfig:
+    """Static DiT hyperparameters.
+
+    The 14B ChronoEdit configuration (transformer_chronoedit.py:341-360):
+    patch (1,2,2), 40 heads x 128, in 36ch (16 latent + 4 mask + 16 cond),
+    out 16ch, text 4096, freq 256, ffn 13824, 40 layers, image_dim 1280 with
+    257 CLIP tokens.
+    """
+
+    patch_size: tuple[int, int, int] = (1, 2, 2)
+    num_heads: int = 40
+    head_dim: int = 128
+    in_channels: int = 36
+    out_channels: int = 16
+    text_dim: int = 4096
+    freq_dim: int = 256
+    ffn_dim: int = 13824
+    num_layers: int = 40
+    image_dim: int | None = 1280  # None => t2v (no image cross-attn branch)
+    image_tokens: int = 257
+    eps: float = 1e-6
+    cross_attn_norm: bool = True
+    temporal_skip: bool = True  # EditWanModel temporal-skip RoPE
+    rope: Rope3DSpec = Rope3DSpec()
+    # compute/storage dtypes
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    # remat ("none" | "full" | "matmul_only" ~ reference SAC mm_only)
+    remat: str = "none"
+
+    @property
+    def dim(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def patch_dim(self) -> int:
+        return self.in_channels * math.prod(self.patch_size)
+
+
+# ================================================================= init
+
+def init_dit_params(key: jax.Array, cfg: DiTConfig) -> Params:
+    """Initialize a parameter pytree (init distributions follow
+    wan2pt1.py:865-906: xavier for projections, N(0, 0.02) embedders,
+    zero-init output head, randn/sqrt(dim) modulation tables)."""
+    dim, pd = cfg.dim, cfg.param_dtype
+    keys = iter(jax.random.split(key, 64))
+
+    def normal_linear(d_in, d_out, std=0.02):
+        return {
+            "kernel": jax.random.normal(next(keys), (d_in, d_out), pd) * std,
+            "bias": jnp.zeros((d_out,), pd),
+        }
+
+    params: Params = {
+        "patch_embed": L.linear_init(next(keys), cfg.patch_dim, dim, dtype=pd),
+        "time_embed": {
+            "fc1": normal_linear(cfg.freq_dim, dim),
+            "fc2": normal_linear(dim, dim),
+        },
+        "time_proj": L.linear_init(next(keys), dim, 6 * dim, dtype=pd),
+        "text_embed": {
+            "fc1": normal_linear(cfg.text_dim, dim),
+            "fc2": normal_linear(dim, dim),
+        },
+        "head": {
+            "proj": {
+                "kernel": jnp.zeros((dim, cfg.out_channels * math.prod(cfg.patch_size)), pd),
+                "bias": jnp.zeros((cfg.out_channels * math.prod(cfg.patch_size),), pd),
+            },
+            "scale_shift_table": jax.random.normal(next(keys), (2, dim), pd) / math.sqrt(dim),
+        },
+    }
+    if cfg.image_dim is not None:
+        params["img_embed"] = {
+            "norm1": L.layer_norm_init(cfg.image_dim, dtype=pd),
+            "fc1": L.linear_init(next(keys), cfg.image_dim, cfg.image_dim, dtype=pd),
+            "fc2": L.linear_init(next(keys), cfg.image_dim, dim, dtype=pd),
+            "norm2": L.layer_norm_init(dim, dtype=pd),
+        }
+
+    def block_params(k) -> Params:
+        ks = iter(jax.random.split(k, 16))
+        p: Params = {
+            "scale_shift_table": jax.random.normal(next(ks), (6, dim), pd) / math.sqrt(dim),
+            "self_attn": {
+                "q": L.linear_init(next(ks), dim, dim, dtype=pd),
+                "k": L.linear_init(next(ks), dim, dim, dtype=pd),
+                "v": L.linear_init(next(ks), dim, dim, dtype=pd),
+                "o": L.linear_init(next(ks), dim, dim, dtype=pd),
+                "q_norm": L.rms_norm_init(dim, pd),
+                "k_norm": L.rms_norm_init(dim, pd),
+            },
+            "cross_attn": {
+                "q": L.linear_init(next(ks), dim, dim, dtype=pd),
+                "k": L.linear_init(next(ks), dim, dim, dtype=pd),
+                "v": L.linear_init(next(ks), dim, dim, dtype=pd),
+                "o": L.linear_init(next(ks), dim, dim, dtype=pd),
+                "q_norm": L.rms_norm_init(dim, pd),
+                "k_norm": L.rms_norm_init(dim, pd),
+            },
+            "ffn": {
+                "fc1": L.linear_init(next(ks), dim, cfg.ffn_dim, dtype=pd),
+                "fc2": L.linear_init(next(ks), cfg.ffn_dim, dim, dtype=pd),
+            },
+        }
+        if cfg.cross_attn_norm:
+            p["norm2"] = L.layer_norm_init(dim, dtype=pd)
+        if cfg.image_dim is not None:
+            p["cross_attn"]["k_img"] = L.linear_init(next(ks), dim, dim, dtype=pd)
+            p["cross_attn"]["v_img"] = L.linear_init(next(ks), dim, dim, dtype=pd)
+            p["cross_attn"]["k_img_norm"] = L.rms_norm_init(dim, pd)
+        return p
+
+    block_keys = jax.random.split(next(keys), cfg.num_layers)
+    params["blocks"] = jax.vmap(block_params)(block_keys)
+    return params
+
+
+# ================================================================= pieces
+
+def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    b, s, d = x.shape
+    return x.reshape(b, s, num_heads, d // num_heads)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, s, h, d = x.shape
+    return x.reshape(b, s, h * d)
+
+
+def _self_attention(p: Params, x: jnp.ndarray, rope_cos, rope_sin, cfg: DiTConfig):
+    """Self-attention with qk rms-norm (across heads) and 3D RoPE."""
+    from chronoedit_tpu.core.rope import apply_rope
+
+    q = L.rms_norm(p["q_norm"], L.linear(p["q"], x), cfg.eps)
+    k = L.rms_norm(p["k_norm"], L.linear(p["k"], x), cfg.eps)
+    v = L.linear(p["v"], x)
+    q, k, v = (_split_heads(t, cfg.num_heads) for t in (q, k, v))
+    cos, sin = rope_cos[:, None, :], rope_sin[:, None, :]  # broadcast over heads
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    out = dot_product_attention(q, k, v)
+    return L.linear(p["o"], _merge_heads(out))
+
+
+def _cross_attention(p: Params, x: jnp.ndarray, text_ctx: jnp.ndarray,
+                     img_ctx: jnp.ndarray | None, cfg: DiTConfig):
+    """I2V cross-attention: text branch + (optional) image branch, summed
+    (transformer_chronoedit.py:81-104)."""
+    q = L.rms_norm(p["q_norm"], L.linear(p["q"], x), cfg.eps)
+    q = _split_heads(q, cfg.num_heads)
+
+    k = L.rms_norm(p["k_norm"], L.linear(p["k"], text_ctx), cfg.eps)
+    v = L.linear(p["v"], text_ctx)
+    out = dot_product_attention(q, _split_heads(k, cfg.num_heads),
+                                _split_heads(v, cfg.num_heads))
+    if img_ctx is not None:
+        k_img = L.rms_norm(p["k_img_norm"], L.linear(p["k_img"], img_ctx), cfg.eps)
+        v_img = L.linear(p["v_img"], img_ctx)
+        out_img = dot_product_attention(q, _split_heads(k_img, cfg.num_heads),
+                                        _split_heads(v_img, cfg.num_heads))
+        out = out + out_img
+    return L.linear(p["o"], _merge_heads(out))
+
+
+def _modulate(x_f32: jnp.ndarray, scale: jnp.ndarray, shift: jnp.ndarray,
+              hw: int) -> jnp.ndarray:
+    """Apply (1+scale)*x + shift with per-frame (B, T, D) scale/shift onto a
+    (B, S, D) fp32 stream, S = T*hw."""
+    b, s, d = x_f32.shape
+    xt = x_f32.reshape(b, -1, hw, d)
+    out = xt * (1.0 + scale[:, :, None, :]) + shift[:, :, None, :]
+    return out.reshape(b, s, d)
+
+
+def _gate(x: jnp.ndarray, delta: jnp.ndarray, gate: jnp.ndarray, hw: int,
+          out_dtype) -> jnp.ndarray:
+    """fp32 residual add of gate*delta with per-frame gate; returns out_dtype."""
+    b, s, d = x.shape
+    xt = x.astype(jnp.float32).reshape(b, -1, hw, d)
+    dt = delta.astype(jnp.float32).reshape(b, -1, hw, d)
+    out = xt + dt * gate[:, :, None, :]
+    return out.reshape(b, s, d).astype(out_dtype)
+
+
+def dit_block(p: Params, x: jnp.ndarray, text_ctx, img_ctx, e: jnp.ndarray,
+              rope_cos, rope_sin, hw: int, cfg: DiTConfig) -> jnp.ndarray:
+    """One transformer block (transformer_chronoedit.py:267-295).
+
+    Args:
+      x: (B, S, dim) bf16 token stream.
+      e: (B, T, 6, dim) fp32 = scale_shift_table + time projection.
+      hw: tokens per latent frame (S = T * hw).
+    """
+    table = p["scale_shift_table"].astype(jnp.float32)  # (6, dim)
+    mods = e + table[None, None]  # (B, T, 6, dim)
+    shift_msa, scale_msa, gate_msa, c_shift, c_scale, c_gate = (
+        mods[:, :, i] for i in range(6)
+    )
+
+    # self-attention
+    norm_x = L.layer_norm({}, x, cfg.eps)  # fp32, no affine
+    norm_x = _modulate(norm_x, scale_msa, shift_msa, hw).astype(x.dtype)
+    attn = _self_attention(p["self_attn"], norm_x, rope_cos, rope_sin, cfg)
+    x = _gate(x, attn, gate_msa, hw, x.dtype)
+
+    # cross-attention (plain residual add, reference line 286)
+    norm_x = L.layer_norm(p.get("norm2", {}), x, cfg.eps, out_dtype=x.dtype)
+    x = x + _cross_attention(p["cross_attn"], norm_x, text_ctx, img_ctx, cfg)
+
+    # ffn
+    norm_x = L.layer_norm({}, x, cfg.eps)
+    norm_x = _modulate(norm_x, c_scale, c_shift, hw).astype(x.dtype)
+    ff = L.linear(p["ffn"]["fc2"], L.gelu_tanh(L.linear(p["ffn"]["fc1"], norm_x)))
+    x = _gate(x, ff, c_gate, hw, x.dtype)
+    return x
+
+
+# ================================================================= forward
+
+def _patchify(x: jnp.ndarray, cfg: DiTConfig) -> tuple[jnp.ndarray, tuple[int, int, int]]:
+    """(B, C, T, H, W) -> (B, S, C*pt*ph*pw) tokens + post-patch grid.
+
+    Feature order (c, kt, kh, kw) matches Conv3d weight layout so diffusers
+    conv kernels convert to the matmul kernel by pure reshape.
+    """
+    pt, ph, pw = cfg.patch_size
+    b, c, t, h, w = x.shape
+    gt, gh, gw = t // pt, h // ph, w // pw
+    x = x.reshape(b, c, gt, pt, gh, ph, gw, pw)
+    x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)  # (B, gt, gh, gw, c, pt, ph, pw)
+    return x.reshape(b, gt * gh * gw, c * pt * ph * pw), (gt, gh, gw)
+
+
+def _unpatchify(tokens: jnp.ndarray, grid: tuple[int, int, int], cfg: DiTConfig) -> jnp.ndarray:
+    """(B, S, out*pt*ph*pw) -> (B, out, T, H, W). Feature order (pt, ph, pw, c)
+    per the reference unpatchify (transformer_chronoedit.py:463-467)."""
+    pt, ph, pw = cfg.patch_size
+    gt, gh, gw = grid
+    b = tokens.shape[0]
+    x = tokens.reshape(b, gt, gh, gw, pt, ph, pw, cfg.out_channels)
+    x = x.transpose(0, 7, 1, 4, 2, 5, 3, 6)  # (B, C, gt, pt, gh, ph, gw, pw)
+    return x.reshape(b, cfg.out_channels, gt * pt, gh * ph, gw * pw)
+
+
+def _condition_embeddings(params: Params, cfg: DiTConfig, timesteps: jnp.ndarray,
+                          text_emb, image_emb):
+    """Time/text/image condition embeddings (transformer_chronoedit.py:126-165).
+
+    Returns (temb (B,T,dim) fp32, t_proj (B,T,6,dim) fp32, text_ctx, img_ctx).
+    """
+    dim = cfg.dim
+    # time_embedder runs fp32 (it is in _keep_in_fp32_modules)
+    sin_emb = L.sinusoidal_timestep_embedding(timesteps, cfg.freq_dim)
+    te = params["time_embed"]
+    temb = L.linear(te["fc2"], jax.nn.silu(L.linear(te["fc1"], sin_emb.astype(jnp.float32))))
+    # reference casts temb to the stream dtype before time_proj, then the
+    # blocks upcast again — keep that exact dance for parity
+    temb_lp = temb.astype(cfg.dtype)
+    t_proj = L.linear(params["time_proj"], jax.nn.silu(temb_lp))
+    t_proj = t_proj.astype(jnp.float32).reshape(temb.shape[:-1] + (6, dim))
+
+    tx = params["text_embed"]
+    text_ctx = L.linear(tx["fc2"], L.gelu_tanh(L.linear(tx["fc1"], text_emb.astype(cfg.dtype))))
+
+    img_ctx = None
+    if image_emb is not None and cfg.image_dim is not None:
+        ie = params["img_embed"]
+        # FP32LayerNorm(eps 1e-5) -> Linear -> exact GELU -> Linear -> norm
+        # (ChronoEditImageEmbedding, transformer_chronoedit.py:111-123)
+        h = L.layer_norm(ie["norm1"], image_emb, eps=1e-5, out_dtype=cfg.dtype)
+        h = jax.nn.gelu(L.linear(ie["fc1"], h), approximate=False)
+        h = L.linear(ie["fc2"], h)
+        img_ctx = L.layer_norm(ie["norm2"], h, eps=1e-5, out_dtype=cfg.dtype)
+    return temb.astype(jnp.float32), t_proj, text_ctx, img_ctx
+
+
+def dit_forward(
+    params: Params,
+    cfg: DiTConfig,
+    x: jnp.ndarray,
+    timesteps: jnp.ndarray,
+    text_emb: jnp.ndarray,
+    image_emb: jnp.ndarray | None = None,
+    layer_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Velocity prediction.
+
+    Args:
+      params: pytree from :func:`init_dit_params` (blocks weight-stacked).
+      x: (B, C_in, T, H, W) noisy latents (+condition channels) in any dtype.
+      timesteps: (B,) shared or (B, T) per-latent-frame, in [0, 1000).
+      text_emb: (B, 512, text_dim) UMT5 embeddings.
+      image_emb: (B, 257, image_dim) CLIP penultimate features, or None.
+      layer_mask: optional (num_layers,) 0/1 floats; 0 skips a block (SLG
+        layer-skip guidance, wan2pt1.py:842-843).
+
+    Returns:
+      (B, C_out, T, H, W) in cfg.dtype.
+    """
+    b, c, t, h, w = x.shape
+    tokens, grid = _patchify(x.astype(cfg.dtype), cfg)
+    gt, gh, gw = grid
+    hw = gh * gw
+    tokens = L.linear(params["patch_embed"], tokens)
+
+    if timesteps.ndim == 1:
+        timesteps = jnp.broadcast_to(timesteps[:, None], (b, gt))
+    temb, t_proj, text_ctx, img_ctx = _condition_embeddings(
+        params, cfg, timesteps, text_emb, image_emb
+    )
+
+    # RoPE tables for this token grid (host-precomputed constants)
+    if cfg.temporal_skip:
+        cos, sin = temporal_skip_rope_tables(cfg.rope, gt, gh, gw)
+    else:
+        cos, sin = rope_3d_tables(cfg.rope, gt, gh, gw)
+
+    block_fn = dit_block
+    if cfg.remat == "full":
+        block_fn = jax.checkpoint(dit_block, static_argnums=(7, 8))
+    elif cfg.remat == "matmul_only":
+        # ~ reference SAC "mm_only": save matmul/attention outputs only
+        policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        block_fn = jax.checkpoint(dit_block, policy=policy, static_argnums=(7, 8))
+
+    if layer_mask is None:
+        def body(carry, bp):
+            out = block_fn(bp, carry, text_ctx, img_ctx, t_proj, cos, sin, hw, cfg)
+            return out, None
+    else:
+        def body(carry, xs):
+            bp, m = xs
+            out = block_fn(bp, carry, text_ctx, img_ctx, t_proj, cos, sin, hw, cfg)
+            out = jnp.where(m > 0.5, out, carry)
+            return out, None
+
+    xs = params["blocks"] if layer_mask is None else (params["blocks"], layer_mask)
+    tokens, _ = jax.lax.scan(body, tokens, xs)
+
+    # output head (transformer_chronoedit.py:451-461)
+    head = params["head"]
+    table = head["scale_shift_table"].astype(jnp.float32)  # (2, dim)
+    mods = table[None, None] + temb[:, :, None, :]  # (B, T, 2, dim)
+    shift, scale = mods[:, :, 0], mods[:, :, 1]
+    normed = L.layer_norm({}, tokens, cfg.eps)
+    normed = _modulate(normed, scale, shift, hw).astype(cfg.dtype)
+    out = L.linear(head["proj"], normed)
+    return _unpatchify(out, grid, cfg)

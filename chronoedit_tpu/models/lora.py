@@ -1,0 +1,130 @@
+"""LoRA adapters over the DiT parameter pytree.
+
+Covers the reference LoRA ecosystem (SURVEY §0: 8-step distilled, Upscaler,
+Paint-Brush — all hot-loadable, fusable, stackable):
+
+- reference injection targets: q, k, v, o and ffn.0 / ffn.2 of every block,
+  rank 32 (``scripts/train_diffsynth.py:83-87``; peft injection
+  ``wan_t2v_model.py:360-576``);
+- multi-adapter activation with per-adapter scales
+  (``wan_t2v_model.py:538-576``).
+
+Pytree-native design: an adapter is a sparse mirror of the param tree holding
+``{"a": (L, d_in, r), "b": (L, r, d_out)}`` at each targeted kernel path.
+"Fusing" is a tree-map ``W + scale * (alpha/r) * a @ b`` — stacked-layer
+einsum, so fuse/unfuse of all 40 blocks is a single XLA op per tensor.
+Training LoRA = differentiating through :func:`merge_lora` wrt the adapter
+leaves only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+
+# kernel paths inside one block (reference target_modules: q,k,v,o,ffn.0,ffn.2)
+DEFAULT_TARGETS = (
+    "self_attn/q", "self_attn/k", "self_attn/v", "self_attn/o",
+    "cross_attn/q", "cross_attn/k", "cross_attn/v", "cross_attn/o",
+    "ffn/fc1", "ffn/fc2",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class LoRAConfig:
+    rank: int = 32
+    alpha: float = 32.0
+    targets: tuple[str, ...] = DEFAULT_TARGETS
+    init_std: float = 0.02
+
+    @property
+    def scaling(self) -> float:
+        return self.alpha / self.rank
+
+
+def _get(tree: Params, path: str):
+    node = tree
+    for part in path.split("/"):
+        node = node[part]
+    return node
+
+
+def _set(tree: Params, path: str, value):
+    parts = path.split("/")
+    node = tree
+    for part in parts[:-1]:
+        node = node[part]
+    node[parts[-1]] = value
+
+
+def init_lora_params(key: jax.Array, dit_params: Params, cfg: LoRAConfig,
+                     dtype=jnp.float32) -> Params:
+    """Zero-effect init: a ~ N(0, std), b = 0 (standard LoRA init)."""
+    lora: Params = {"blocks": {}}
+    keys = jax.random.split(key, len(cfg.targets))
+    for k, target in zip(keys, cfg.targets):
+        kern = _get(dit_params["blocks"], target)["kernel"]  # (L, din, dout)
+        L, din, dout = kern.shape
+        _set_nested(lora["blocks"], target, {
+            "a": jax.random.normal(k, (L, din, cfg.rank), dtype) * cfg.init_std,
+            "b": jnp.zeros((L, cfg.rank, dout), dtype),
+        })
+    return lora
+
+
+def _set_nested(tree: Params, path: str, value):
+    parts = path.split("/")
+    node = tree
+    for part in parts[:-1]:
+        node = node.setdefault(part, {})
+    node[parts[-1]] = value
+
+
+def _iter_lora_leaves(lora: Params, prefix: str = ""):
+    for name, sub in lora.items():
+        path = f"{prefix}{name}" if not prefix else f"{prefix}/{name}"
+        if isinstance(sub, dict) and "a" in sub and "b" in sub:
+            yield path, sub
+        elif isinstance(sub, dict):
+            yield from _iter_lora_leaves(sub, path)
+
+
+def merge_lora(dit_params: Params, lora: Params, scale: float = 1.0,
+               cfg: LoRAConfig | None = None) -> Params:
+    """Return params with ``W + scale * scaling * a@b`` fused in (the
+    reference's ``fuse_lora``). Input tree is not mutated."""
+    scaling = (cfg.scaling if cfg else 1.0) * scale
+    out = jax.tree_util.tree_map(lambda x: x, dit_params)  # shallow-copy tree
+
+    def deep_copy_dicts(d):
+        return {k: deep_copy_dicts(v) if isinstance(v, dict) else v for k, v in d.items()}
+
+    out = deep_copy_dicts(out)
+    for path, ab in _iter_lora_leaves(lora):
+        node = _get(out, path)
+        delta = jnp.einsum("lir,lro->lio", ab["a"].astype(jnp.float32),
+                           ab["b"].astype(jnp.float32)) * scaling
+        node["kernel"] = (node["kernel"].astype(jnp.float32) + delta).astype(
+            node["kernel"].dtype)
+    return out
+
+
+def merge_multi_lora(dit_params: Params,
+                     adapters: dict[str, tuple[Params, float]],
+                     cfg: LoRAConfig | None = None) -> Params:
+    """Fuse several adapters at once: W + sum_i scale_i * a_i @ b_i
+    (multi-adapter activate/scale, wan_t2v_model.py:538-576)."""
+    out = dit_params
+    for _, (lora, scale) in adapters.items():
+        out = merge_lora(out, lora, scale, cfg)
+    return out
+
+
+def lora_trainable_filter(lora: Params):
+    """optax mask-style pytree marking all adapter leaves trainable."""
+    return jax.tree_util.tree_map(lambda _: True, lora)

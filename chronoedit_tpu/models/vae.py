@@ -1,0 +1,343 @@
+"""Wan 2.1 causal-3D-conv video VAE (16-channel latents), TPU-native.
+
+Functional parity with the reference tokenizer
+(``chronoedit/_src/tokenizers/wan2pt1.py``): dim 96, mult [1,2,4,4], 2 res
+blocks/stage, temporal downsample [False, True, True] -> 8x spatial / 4x
+temporal compression, single-head spatial attention mid-block, per-channel
+latent mean/std normalization (wan2pt1.py:697-735), latent frames
+``1 + (T-1)//4``.
+
+TPU-first redesign of the streaming path: the reference encodes in 1+4-frame
+chunks with Python-side per-conv feature caches (wan2pt1.py:496-581).  Since
+every temporal op is *causal*, chunked-with-cache is mathematically identical
+to one full-sequence pass with left-zero temporal padding — so here each
+causal conv is a single ``lax.conv_general_dilated`` over the whole clip
+(static shapes, MXU-friendly, no host round-trips).  The two stride-tricks of
+the streaming path are reproduced exactly:
+
+- ``downsample3d``: the first frame bypasses the temporal conv (the stream
+  cache primes on it, wan2pt1.py:145-159); remaining frames go through the
+  stride-2 kernel-3 no-pad conv — full-sequence windows (0,1,2), (2,3,4), ...
+- ``upsample3d``: frame 0 bypasses temporal doubling, and is *zero-masked*
+  out of later windows (the "Rep" cache sentinel, wan2pt1.py:115-139); frames
+  1..T-1 run through the causal kernel-3 conv whose 2x channels interleave
+  into 2 output frames each.
+
+Layout: channels-last (B, T, H, W, C) internally; (B, C, T, H, W) at the
+public boundary for reference parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict[str, Any]
+
+# Hard-coded Wan 2.1 latent statistics (wan2pt1.py:697-732).
+WAN_LATENT_MEAN = np.array([
+    -0.7571, -0.7089, -0.9113, 0.1075, -0.1745, 0.9653, -0.1517, 1.5508,
+    0.4134, -0.0715, 0.5517, -0.3632, -0.1922, -0.9497, 0.2503, -0.2921,
+], np.float32)
+WAN_LATENT_STD = np.array([
+    2.8184, 1.4541, 2.3275, 2.6558, 1.2196, 1.7708, 2.6052, 2.0743,
+    3.2687, 2.1526, 2.8652, 1.5579, 1.6382, 1.1253, 2.8251, 1.9160,
+], np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    dim: int = 96
+    z_dim: int = 16
+    dim_mult: tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    temporal_downsample: tuple[bool, ...] = (False, True, True)
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @property
+    def temporal_factor(self) -> int:
+        return 2 ** sum(self.temporal_downsample)
+
+    @property
+    def spatial_factor(self) -> int:
+        return 2 ** (len(self.dim_mult) - 1)
+
+    def latent_frames(self, pixel_frames: int) -> int:
+        return 1 + (pixel_frames - 1) // self.temporal_factor
+
+    def pixel_frames(self, latent_frames: int) -> int:
+        return (latent_frames - 1) * self.temporal_factor + 1
+
+
+# ------------------------------------------------------------- primitives
+
+def _conv_init(key, kt, kh, kw, cin, cout, dtype) -> Params:
+    fan_in = kt * kh * kw * cin
+    limit = float(np.sqrt(1.0 / fan_in))
+    k = jax.random.uniform(key, (kt, kh, kw, cin, cout), dtype, -limit, limit)
+    return {"kernel": k, "bias": jnp.zeros((cout,), dtype)}
+
+
+def causal_conv3d(p: Params, x: jnp.ndarray,
+                  stride: tuple[int, int, int] = (1, 1, 1),
+                  time_pad: int | None = None) -> jnp.ndarray:
+    """3D conv with causal (left-only, zero) temporal padding.
+
+    Default temporal pad is ``2 * (kt // 2)`` — the CausalConv3d rule
+    (wan2pt1.py:42-60). ``time_pad=0`` gives the no-pad stride convs.
+    """
+    kernel = p["kernel"]
+    kt, kh, kw = kernel.shape[:3]
+    tp = 2 * (kt // 2) if time_pad is None else time_pad
+    out = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), window_strides=stride,
+        padding=[(tp, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    return out + p["bias"].astype(x.dtype)
+
+
+def _rms_init(dim: int, dtype) -> Params:
+    return {"gamma": jnp.ones((dim,), dtype)}
+
+
+def _rms(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Channel-wise L2 normalization * sqrt(C) * gamma (RMS_norm,
+    wan2pt1.py:63-75; F.normalize eps=1e-12)."""
+    xf = x.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(jnp.square(xf), axis=-1, keepdims=True))
+    scale = np.sqrt(x.shape[-1])
+    y = xf / jnp.maximum(norm, 1e-12) * scale
+    return (y * p["gamma"].astype(jnp.float32)).astype(x.dtype)
+
+
+def _res_block_init(key, cin, cout, dtype) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = {
+        "norm1": _rms_init(cin, dtype),
+        "conv1": _conv_init(k1, 3, 3, 3, cin, cout, dtype),
+        "norm2": _rms_init(cout, dtype),
+        "conv2": _conv_init(k2, 3, 3, 3, cout, cout, dtype),
+    }
+    if cin != cout:
+        p["shortcut"] = _conv_init(k3, 1, 1, 1, cin, cout, dtype)
+    return p
+
+
+def _res_block(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    h = causal_conv3d(p["conv1"], jax.nn.silu(_rms(p["norm1"], x)))
+    h = causal_conv3d(p["conv2"], jax.nn.silu(_rms(p["norm2"], h)))
+    s = causal_conv3d(p["shortcut"], x) if "shortcut" in p else x
+    return h + s
+
+
+def _attn_block_init(key, dim, dtype) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "norm": _rms_init(dim, dtype),
+        "qkv": _conv_init(k1, 1, 1, 1, dim, dim * 3, dtype),
+        # zero-init proj (wan2pt1.py:237-238)
+        "proj": {"kernel": jnp.zeros((1, 1, 1, dim, dim), dtype),
+                 "bias": jnp.zeros((dim,), dtype)},
+    }
+
+
+def _attn_block(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Single-head per-frame spatial self-attention (wan2pt1.py:223-259)."""
+    b, t, h, w, c = x.shape
+    y = _rms(p["norm"], x)
+    qkv = causal_conv3d(p["qkv"], y)
+    q, k, v = jnp.split(qkv.reshape(b, t, h * w, 3 * c), 3, axis=-1)
+    logits = jnp.einsum("btqc,btkc->btqk", q, k,
+                        preferred_element_type=jnp.float32) / np.sqrt(c)
+    weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("btqk,btkc->btqc", weights, v).reshape(b, t, h, w, c)
+    return causal_conv3d(p["proj"], out) + x
+
+
+# ------------------------------------------------------------- resampling
+
+def _spatial_down(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """ZeroPad2d((0,1,0,1)) + 3x3 stride-2 conv (wan2pt1.py:105-107)."""
+    kernel = p["kernel"]  # (1, 3, 3, c, c)
+    out = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), window_strides=(1, 2, 2),
+        padding=[(0, 0), (0, 1), (0, 1)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    return out + p["bias"].astype(x.dtype)
+
+
+def _temporal_down(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """First frame identity; rest through stride-2 kernel-3 no-pad conv."""
+    rest = causal_conv3d(p, x, stride=(2, 1, 1), time_pad=0)
+    return jnp.concatenate([x[:, :1], rest], axis=1)
+
+
+def _spatial_up(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """nearest-exact 2x upsample + 3x3 conv halving channels."""
+    x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+    kernel = p["kernel"]  # (1, 3, 3, c, c//2)
+    out = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), window_strides=(1, 1, 1),
+        padding=[(0, 0), (1, 1), (1, 1)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    return out + p["bias"].astype(x.dtype)
+
+
+def _temporal_up(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Frame 0 identity; frames 1.. doubled via 2x-channel causal conv with
+    frame 0 zero-masked out of the windows (the "Rep" sentinel semantics)."""
+    b, t, h, w, c = x.shape
+    masked = jnp.concatenate([jnp.zeros_like(x[:, :1]), x[:, 1:]], axis=1)
+    y = causal_conv3d(p, masked)  # (B, T, H, W, 2C)
+    y = y[:, 1:]  # drop the all-zero-window position 0
+    # channel pairs -> consecutive frames: reshape (B,T-1,H,W,2,C) -> time
+    y = y.reshape(b, t - 1, h, w, 2, c).transpose(0, 1, 4, 2, 3, 5)
+    y = y.reshape(b, 2 * (t - 1), h, w, c)
+    return jnp.concatenate([x[:, :1], y], axis=1)
+
+
+# ------------------------------------------------------------- encoder/decoder
+
+def init_vae_params(key: jax.Array, cfg: VAEConfig) -> Params:
+    pd = cfg.param_dtype
+    dims = [cfg.dim * m for m in (1,) + tuple(cfg.dim_mult)]
+    keys = iter(jax.random.split(key, 256))
+
+    enc: Params = {"conv_in": _conv_init(next(keys), 3, 3, 3, 3, dims[0], pd)}
+    stages = []
+    for i, (cin, cout) in enumerate(zip(dims[:-1], dims[1:])):
+        blocks = []
+        c = cin
+        for _ in range(cfg.num_res_blocks):
+            blocks.append(_res_block_init(next(keys), c, cout, pd))
+            c = cout
+        stage: Params = {"blocks": blocks}
+        if i != len(cfg.dim_mult) - 1:
+            stage["down"] = _conv_init(next(keys), 1, 3, 3, cout, cout, pd)
+            if cfg.temporal_downsample[i]:
+                stage["time_down"] = _conv_init(next(keys), 3, 1, 1, cout, cout, pd)
+        stages.append(stage)
+    enc["stages"] = stages
+    mid_dim = dims[-1]
+    enc["mid"] = {
+        "res1": _res_block_init(next(keys), mid_dim, mid_dim, pd),
+        "attn": _attn_block_init(next(keys), mid_dim, pd),
+        "res2": _res_block_init(next(keys), mid_dim, mid_dim, pd),
+    }
+    enc["head_norm"] = _rms_init(mid_dim, pd)
+    enc["head_conv"] = _conv_init(next(keys), 3, 3, 3, mid_dim, cfg.z_dim * 2, pd)
+
+    # decoder dims (wan2pt1.py:380): [4,4,4,2,1] * dim
+    ddims = [cfg.dim * m for m in (cfg.dim_mult[-1],) + tuple(reversed(cfg.dim_mult))]
+    dec: Params = {"conv_in": _conv_init(next(keys), 3, 3, 3, cfg.z_dim, ddims[0], pd)}
+    dec["mid"] = {
+        "res1": _res_block_init(next(keys), ddims[0], ddims[0], pd),
+        "attn": _attn_block_init(next(keys), ddims[0], pd),
+        "res2": _res_block_init(next(keys), ddims[0], ddims[0], pd),
+    }
+    dstages = []
+    t_up = tuple(reversed(cfg.temporal_downsample))
+    for i, (cin, cout) in enumerate(zip(ddims[:-1], ddims[1:])):
+        if i > 0:
+            cin = cin // 2  # previous upsample halved channels (wan2pt1.py:395-396)
+        blocks = []
+        c = cin
+        for _ in range(cfg.num_res_blocks + 1):
+            blocks.append(_res_block_init(next(keys), c, cout, pd))
+            c = cout
+        stage = {"blocks": blocks}
+        if i != len(cfg.dim_mult) - 1:
+            if t_up[i]:
+                stage["time_up"] = _conv_init(next(keys), 3, 1, 1, cout, cout * 2, pd)
+            stage["up"] = _conv_init(next(keys), 1, 3, 3, cout, cout // 2, pd)
+        dstages.append(stage)
+    dec["stages"] = dstages
+    dec["head_norm"] = _rms_init(ddims[-1], pd)
+    dec["head_conv"] = _conv_init(next(keys), 3, 3, 3, ddims[-1], 3, pd)
+
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        "quant_conv": _conv_init(next(keys), 1, 1, 1, cfg.z_dim * 2, cfg.z_dim * 2, pd),
+        "post_quant_conv": _conv_init(next(keys), 1, 1, 1, cfg.z_dim, cfg.z_dim, pd),
+    }
+
+
+def _encoder(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    h = causal_conv3d(p["conv_in"], x)
+    for stage in p["stages"]:
+        for blk in stage["blocks"]:
+            h = _res_block(blk, h)
+        if "down" in stage:
+            h = _spatial_down(stage["down"], h)
+            if "time_down" in stage:
+                h = _temporal_down(stage["time_down"], h)
+    h = _res_block(p["mid"]["res1"], h)
+    h = _attn_block(p["mid"]["attn"], h)
+    h = _res_block(p["mid"]["res2"], h)
+    h = jax.nn.silu(_rms(p["head_norm"], h))
+    return causal_conv3d(p["head_conv"], h)
+
+
+def _decoder(p: Params, z: jnp.ndarray) -> jnp.ndarray:
+    h = causal_conv3d(p["conv_in"], z)
+    h = _res_block(p["mid"]["res1"], h)
+    h = _attn_block(p["mid"]["attn"], h)
+    h = _res_block(p["mid"]["res2"], h)
+    for stage in p["stages"]:
+        for blk in stage["blocks"]:
+            h = _res_block(blk, h)
+        if "up" in stage:
+            if "time_up" in stage:
+                h = _temporal_up(stage["time_up"], h)
+            h = _spatial_up(stage["up"], h)
+    h = jax.nn.silu(_rms(p["head_norm"], h))
+    return causal_conv3d(p["head_conv"], h)
+
+
+# ------------------------------------------------------------- public API
+
+def _to_tlast(x):  # (B,C,T,H,W) -> (B,T,H,W,C)
+    return jnp.transpose(x, (0, 2, 3, 4, 1))
+
+
+def _to_cfirst(x):  # (B,T,H,W,C) -> (B,C,T,H,W)
+    return jnp.transpose(x, (0, 4, 1, 2, 3))
+
+
+def vae_encode(params: Params, cfg: VAEConfig, video: jnp.ndarray,
+               normalize: bool = True) -> jnp.ndarray:
+    """Encode pixels in [-1, 1] -> normalized 16ch latents.
+
+    Args:
+      video: (B, 3, T, H, W) with T = 4k+1.
+    Returns: (B, 16, 1+(T-1)//4, H/8, W/8).
+    """
+    x = _to_tlast(video).astype(cfg.dtype)
+    moments = causal_conv3d(params["quant_conv"], _encoder(params["encoder"], x))
+    mu = moments[..., : cfg.z_dim]
+    if normalize and cfg.z_dim == WAN_LATENT_MEAN.size:
+        mean = jnp.asarray(WAN_LATENT_MEAN, mu.dtype)
+        std = jnp.asarray(WAN_LATENT_STD, mu.dtype)
+        mu = (mu - mean) / std
+    return _to_cfirst(mu)
+
+
+def vae_decode(params: Params, cfg: VAEConfig, latents: jnp.ndarray,
+               normalize: bool = True) -> jnp.ndarray:
+    """Decode normalized latents -> pixels (B, 3, (Tl-1)*4+1, H*8, W*8)."""
+    z = _to_tlast(latents).astype(cfg.dtype)
+    if normalize and cfg.z_dim == WAN_LATENT_MEAN.size:
+        mean = jnp.asarray(WAN_LATENT_MEAN, z.dtype)
+        std = jnp.asarray(WAN_LATENT_STD, z.dtype)
+        z = z * std + mean
+    z = causal_conv3d(params["post_quant_conv"], z)
+    return _to_cfirst(_decoder(params["decoder"], z))

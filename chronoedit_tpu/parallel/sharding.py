@@ -1,0 +1,111 @@
+"""Parameter sharding rules (NamedSharding partition specs).
+
+Replaces torch FSDP2/DTensor ``fully_shard`` (wan2pt1.py:908-915) and the TP
+checkpointer plumbing with declarative PartitionSpecs; XLA's SPMD partitioner
+then inserts all collectives (all-gather for fsdp weight use, psum for
+tensor-parallel contractions) automatically.
+
+Two composable strategies on the 4-axis mesh:
+
+- **fsdp**: every parameter's largest eligible axis is sharded over ``fsdp``
+  (ZeRO-3 semantics; weights all-gather per scan step).
+- **tensor**: Megatron-style layout for the DiT blocks — qkv/fc1 kernels
+  column-split, o/fc2 kernels row-split over ``tensor``; everything else
+  replicated. Activations stay unannotated and GSPMD propagates.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from chronoedit_tpu.parallel.mesh import AXIS_FSDP, AXIS_TENSOR
+
+Params = Any
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+# Megatron-style tensor layout for DiT block params. Kernel shapes carry a
+# leading stacked-layer axis L: (L, d_in, d_out). "col" shards d_out, "row"
+# shards d_in.
+_TP_COL = ("self_attn/q/kernel", "self_attn/k/kernel", "self_attn/v/kernel",
+           "cross_attn/q/kernel", "cross_attn/k/kernel", "cross_attn/v/kernel",
+           "cross_attn/k_img/kernel", "cross_attn/v_img/kernel",
+           "ffn/fc1/kernel")
+_TP_COL_BIAS = ("self_attn/q/bias", "self_attn/k/bias", "self_attn/v/bias",
+                "cross_attn/q/bias", "cross_attn/k/bias", "cross_attn/v/bias",
+                "cross_attn/k_img/bias", "cross_attn/v_img/bias",
+                "ffn/fc1/bias")
+_TP_ROW = ("self_attn/o/kernel", "cross_attn/o/kernel", "ffn/fc2/kernel")
+
+
+def dit_param_sharding(
+    mesh: Mesh, use_fsdp: bool = True, use_tensor: bool = True
+) -> Callable[[tuple, jax.ShapeDtypeStruct], NamedSharding]:
+    """Returns path-aware spec function for DiT params (init_dit_params tree)."""
+    fsdp_size = mesh.shape[AXIS_FSDP]
+    tp_size = mesh.shape[AXIS_TENSOR]
+
+    def spec_fn(path, leaf) -> NamedSharding:
+        name = _path_str(path)
+        shape = leaf.shape
+        spec = [None] * len(shape)
+        in_block = name.startswith("blocks/")
+        sub = name.split("blocks/")[-1] if in_block else name
+
+        if use_tensor and tp_size > 1 and in_block:
+            if any(sub.endswith(k) for k in _TP_COL):
+                spec[-1] = AXIS_TENSOR
+            elif any(sub.endswith(k) for k in _TP_COL_BIAS):
+                spec[-1] = AXIS_TENSOR
+            elif any(sub.endswith(k) for k in _TP_ROW):
+                spec[-2] = AXIS_TENSOR
+
+        if use_fsdp and fsdp_size > 1:
+            # shard the largest remaining divisible axis over fsdp
+            order = sorted(range(len(shape)), key=lambda i: -shape[i])
+            for i in order:
+                if spec[i] is None and shape[i] % fsdp_size == 0 and shape[i] >= fsdp_size:
+                    # avoid the stacked-layer axis 0 of block params: scan
+                    # slices it every step, sharding it would reshard per layer
+                    if in_block and i == 0 and len(shape) > 1:
+                        continue
+                    spec[i] = AXIS_FSDP
+                    break
+        return NamedSharding(mesh, P(*spec))
+
+    return spec_fn
+
+
+def shard_params(params: Params, mesh: Mesh, spec_fn=None) -> Params:
+    """device_put a parameter pytree with the given (or DiT-default) specs."""
+    spec_fn = spec_fn or dit_param_sharding(mesh)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: jax.device_put(leaf, spec_fn(path, leaf)), params
+    )
+
+
+def replicate(tree: Params, mesh: Mesh) -> Params:
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda leaf: jax.device_put(leaf, sh), tree)
+
+
+def param_spec_tree(params: Params, mesh: Mesh, spec_fn=None) -> Params:
+    """PartitionSpec pytree (for pjit in/out shardings and Orbax metadata)."""
+    spec_fn = spec_fn or dit_param_sharding(mesh)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: spec_fn(path, leaf), params
+    )

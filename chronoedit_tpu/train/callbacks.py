@@ -1,0 +1,129 @@
+"""Callback bus + built-in training callbacks.
+
+The reference fans ~30 hooks out to a callback group
+(``utils/callback.py:46-103``); built-ins include iteration speed, grad-clip
+stats, device monitoring, heartbeat liveness stamps and periodic sample
+draws (SURVEY §5.5).  Host-side equivalents here; anything device-side
+(grad norms, loss) arrives through the metrics dict.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+
+class Callback:
+    def on_train_start(self, trainer): ...
+    def on_step_end(self, trainer, step: int, metrics: dict[str, Any]): ...
+    def on_checkpoint_save(self, trainer, step: int): ...
+    def on_train_end(self, trainer): ...
+
+
+class CallbackBus:
+    """Fan any hook out to every registered callback (CallBackGroup
+    equivalent)."""
+
+    def __init__(self, callbacks: list[Callback] | None = None):
+        self.callbacks = list(callbacks or [])
+
+    def __getattr__(self, hook: str):
+        if hook.startswith("_"):
+            raise AttributeError(hook)
+
+        def fanout(*args, **kw):
+            for cb in self.callbacks:
+                getattr(cb, hook, lambda *a, **k: None)(*args, **kw)
+
+        return fanout
+
+
+class IterSpeedCallback(Callback):
+    """it/s + rolling average (the IterSpeed callback)."""
+
+    def __init__(self, log_every: int = 50, log_fn=print):
+        self.log_every = log_every
+        self.log_fn = log_fn
+        self._t0 = None
+
+    def on_train_start(self, trainer):
+        self._t0 = time.perf_counter()
+
+    def on_step_end(self, trainer, step, metrics):
+        if step % self.log_every == 0 and step > 0:
+            dt = time.perf_counter() - self._t0
+            self.log_fn(f"[iter {step}] {self.log_every / dt:.2f} it/s "
+                        f"loss={float(metrics.get('loss', float('nan'))):.4f}")
+            self._t0 = time.perf_counter()
+
+
+class LossLoggerCallback(Callback):
+    """JSONL metrics log + unstable-loss counting (WandbCallback's
+    loss-record/unstable-count behaviour, wandb_log.py:59-120, minus the
+    wandb dependency — see MetricsWriter for sinks)."""
+
+    def __init__(self, path: str | None = None, log_every: int = 10):
+        self.path = path
+        self.log_every = log_every
+        self.unstable_count = 0
+        self._f = None
+
+    def on_train_start(self, trainer):
+        if self.path:
+            os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+            self._f = open(self.path, "a")
+
+    def on_step_end(self, trainer, step, metrics):
+        loss = float(metrics.get("loss", float("nan")))
+        if not (loss == loss):  # NaN
+            self.unstable_count += 1
+        if self._f and step % self.log_every == 0:
+            rec = {"step": step,
+                   **{k: float(v) for k, v in metrics.items()
+                      if hasattr(v, "__float__")}}
+            self._f.write(json.dumps(rec) + "\n")
+            self._f.flush()
+
+    def on_train_end(self, trainer):
+        if self._f:
+            self._f.close()
+
+
+class HeartbeatCallback(Callback):
+    """Periodic liveness timestamp file (HeartBeat callback,
+    heart_beat.py:29-70 — S3 there, local/NFS path here)."""
+
+    def __init__(self, path: str = "heartbeat.txt", every_s: float = 60.0):
+        self.path = path
+        self.every_s = every_s
+        self._last = 0.0
+
+    def on_step_end(self, trainer, step, metrics):
+        now = time.time()
+        if now - self._last >= self.every_s:
+            self._last = now
+            os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+            with open(self.path, "w") as f:
+                f.write(f"{now} step={step}\n")
+
+
+class StepTimeoutWatchdog(Callback):
+    """Raise if any step exceeds a wall-clock budget (SIGALRM watchdog,
+    trainer.py:146-147 — exception-based here; SIGALRM is process-global
+    and hostile to async runtimes)."""
+
+    def __init__(self, timeout_s: float = 1800.0):
+        self.timeout_s = timeout_s
+        self._t = None
+
+    def on_step_start(self, trainer, step):
+        self._t = time.perf_counter()
+
+    def on_step_end(self, trainer, step, metrics):
+        if self._t is not None:
+            dt = time.perf_counter() - self._t
+            if dt > self.timeout_s:
+                raise TimeoutError(
+                    f"training step {step} took {dt:.0f}s > {self.timeout_s:.0f}s")

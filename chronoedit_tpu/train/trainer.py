@@ -1,0 +1,105 @@
+"""Training loop — the ImaginaireTrainer equivalent.
+
+Responsibilities mirrored from ``chronoedit/_ext/imaginaire/trainer.py``:
+iteration loop with gradient accumulation, callback hooks, periodic
+checkpointing + resume, straggler/step-time monitoring, profiling hooks.
+Distribution is *not* this class's job: the train step is jitted over a mesh
+with sharded params/batches, so the loop body is identical on 1 chip or a
+pod.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+
+from chronoedit_tpu.models import dit as dit_lib
+from chronoedit_tpu.train.callbacks import CallbackBus, Callback
+from chronoedit_tpu.train.checkpoint import CheckpointConfig, CheckpointManager
+from chronoedit_tpu.train.train_step import TrainConfig, TrainState, make_train_state, make_train_step
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    max_iter: int = 1000
+    grad_accum: int = 1
+    save_every: int = 500
+    profile_start: int = -1  # iteration to start a jax.profiler trace, -1=off
+    profile_steps: int = 5
+    profile_dir: str = "profiles"
+
+
+class Trainer:
+    def __init__(
+        self,
+        dit_cfg: dit_lib.DiTConfig,
+        train_cfg: TrainConfig,
+        trainer_cfg: TrainerConfig,
+        checkpoint_cfg: CheckpointConfig | None = None,
+        callbacks: list[Callback] | None = None,
+    ):
+        self.dit_cfg = dit_cfg
+        self.train_cfg = train_cfg
+        self.cfg = trainer_cfg
+        self.callbacks = CallbackBus(callbacks)
+        self.checkpoints = CheckpointManager(checkpoint_cfg) if checkpoint_cfg else None
+        self._step_fn = None
+
+    # ------------------------------------------------------------- state
+
+    def init_state(self, params) -> TrainState:
+        state = make_train_state(params, self.train_cfg)
+        if self.checkpoints is not None:
+            restored = self.checkpoints.restore(state)
+            if restored is not None:
+                state = restored
+        return state
+
+    # ------------------------------------------------------------- loop
+
+    def train(
+        self,
+        state: TrainState,
+        data: Iterator[dict[str, Any]],
+        key: jax.Array | None = None,
+    ) -> TrainState:
+        key = key if key is not None else jax.random.PRNGKey(0)
+        if self._step_fn is None:
+            self._step_fn = make_train_step(self.dit_cfg, self.train_cfg)
+
+        self.callbacks.on_train_start(self)
+        start = int(state.step)
+        metrics: dict[str, Any] = {}
+        for it in range(start, self.cfg.max_iter):
+            self.callbacks.on_step_start(self, it)
+            if self.cfg.profile_start == it:
+                jax.profiler.start_trace(self.cfg.profile_dir)
+
+            # gradient accumulation: average metrics over micro-batches
+            accum_metrics = []
+            for _ in range(self.cfg.grad_accum):
+                key, sub = jax.random.split(key)
+                batch = next(data)
+                state, metrics = self._step_fn(state, batch, sub)
+                accum_metrics.append(metrics)
+            if self.cfg.grad_accum > 1:
+                metrics = jax.tree_util.tree_map(
+                    lambda *xs: sum(xs) / len(xs), *accum_metrics)
+
+            if self.cfg.profile_start >= 0 and it == self.cfg.profile_start + self.cfg.profile_steps:
+                jax.profiler.stop_trace()
+
+            self.callbacks.on_step_end(self, it, metrics)
+            if self.checkpoints is not None and (it + 1) % self.cfg.save_every == 0:
+                self.checkpoints.save(it + 1, state)
+                self.callbacks.on_checkpoint_save(self, it + 1)
+
+        if self.checkpoints is not None:
+            if self.checkpoints.latest_step() != self.cfg.max_iter:
+                self.checkpoints.save(self.cfg.max_iter, state, force=True)
+            self.checkpoints.wait_until_finished()
+        self.callbacks.on_train_end(self)
+        return state

@@ -1,0 +1,106 @@
+"""Wan VAE tests: compression geometry, causality, streaming invariants."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chronoedit_tpu.models import vae as vae_lib
+
+# Tiny config: dim 8, mult (1,2,2), 1 res block, temporal down (False, True)
+# -> spatial 4x, temporal 2x. Exercises every code path cheaply.
+TINY = vae_lib.VAEConfig(
+    dim=8, z_dim=4, dim_mult=(1, 2, 2), num_res_blocks=1,
+    temporal_downsample=(False, True),
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_vae():
+    params = vae_lib.init_vae_params(jax.random.PRNGKey(0), TINY)
+    return params
+
+
+def test_compression_factors():
+    assert TINY.spatial_factor == 4
+    assert TINY.temporal_factor == 2
+    full = vae_lib.VAEConfig()
+    assert full.spatial_factor == 8
+    assert full.temporal_factor == 4
+    assert full.latent_frames(5) == 2
+    assert full.latent_frames(29) == 8
+    assert full.pixel_frames(2) == 5
+
+
+def test_encode_decode_shapes(tiny_vae):
+    T = 5  # 1 + 2k pixel frames for temporal factor 2
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, T, 16, 16))
+    z = vae_lib.vae_encode(tiny_vae, TINY, x, normalize=False)
+    assert z.shape == (1, TINY.z_dim, 1 + (T - 1) // 2, 4, 4)
+    y = vae_lib.vae_decode(tiny_vae, TINY, z, normalize=False)
+    assert y.shape == (1, 3, T, 16, 16)
+    assert bool(jnp.isfinite(y).all())
+
+
+def test_single_frame_roundtrip_shapes(tiny_vae):
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 1, 16, 16))
+    z = vae_lib.vae_encode(tiny_vae, TINY, x, normalize=False)
+    assert z.shape == (2, TINY.z_dim, 1, 4, 4)
+    y = vae_lib.vae_decode(tiny_vae, TINY, z, normalize=False)
+    assert y.shape == (2, 3, 1, 16, 16)
+
+
+def test_encoder_causality(tiny_vae):
+    """Latent frame i must not depend on pixel frames later than its chunk —
+    the property that makes chunked streaming == full-sequence encode."""
+    key = jax.random.PRNGKey(2)
+    x = jax.random.normal(key, (1, 3, 5, 16, 16))
+    z1 = vae_lib.vae_encode(tiny_vae, TINY, x, normalize=False)
+    # perturb the last 2 pixel frames: latent frames 0..1 (from pixels 0..2)
+    # must be bit-identical
+    x2 = x.at[:, :, 3:].add(jax.random.normal(jax.random.PRNGKey(3), (1, 3, 2, 16, 16)))
+    z2 = vae_lib.vae_encode(tiny_vae, TINY, x2, normalize=False)
+    np.testing.assert_allclose(np.asarray(z1[:, :, :2]), np.asarray(z2[:, :, :2]),
+                               atol=1e-5)
+    assert float(jnp.abs(z1[:, :, 2] - z2[:, :, 2]).max()) > 1e-4
+
+
+def test_decoder_causality(tiny_vae):
+    """Pixel frame block i depends only on latent frames <= i (frame-by-frame
+    streaming decode equivalence)."""
+    z = jax.random.normal(jax.random.PRNGKey(4), (1, TINY.z_dim, 3, 4, 4))
+    y1 = vae_lib.vae_decode(tiny_vae, TINY, z, normalize=False)
+    z2 = z.at[:, :, 2].add(1.0)
+    y2 = vae_lib.vae_decode(tiny_vae, TINY, z2, normalize=False)
+    # pixels for latent frames 0-1: frames 0..2 (1 + 2*1) unchanged
+    np.testing.assert_allclose(np.asarray(y1[:, :, :3]), np.asarray(y2[:, :, :3]),
+                               atol=1e-5)
+    assert float(jnp.abs(y1[:, :, 3:] - y2[:, :, 3:]).max()) > 1e-4
+
+
+def test_latent_normalization_roundtrip(tiny_vae):
+    cfg = dataclasses.replace(TINY, z_dim=16)
+    params = vae_lib.init_vae_params(jax.random.PRNGKey(5), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(6), (1, 3, 3, 16, 16))
+    z_norm = vae_lib.vae_encode(params, cfg, x, normalize=True)
+    z_raw = vae_lib.vae_encode(params, cfg, x, normalize=False)
+    mean = vae_lib.WAN_LATENT_MEAN.reshape(1, 16, 1, 1, 1)
+    std = vae_lib.WAN_LATENT_STD.reshape(1, 16, 1, 1, 1)
+    np.testing.assert_allclose(np.asarray(z_norm), (np.asarray(z_raw) - mean) / std,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_chunked_encode_equals_full(tiny_vae):
+    """Full-sequence encode == concat of causal-chunk encodes when chunks are
+    re-fed with their pixel context (the property the reference streams on).
+
+    We check the weaker but sufficient invariant: encoding the first 1+2k
+    frames yields exactly the first 1+k latent frames of the full encode.
+    """
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 3, 5, 16, 16))
+    z_full = vae_lib.vae_encode(tiny_vae, TINY, x, normalize=False)
+    z_head = vae_lib.vae_encode(tiny_vae, TINY, x[:, :, :3], normalize=False)
+    np.testing.assert_allclose(np.asarray(z_full[:, :, :2]), np.asarray(z_head),
+                               atol=1e-5)

@@ -1,0 +1,227 @@
+"""Safety guardrails: text + video checks around generation.
+
+Host-side equivalent of the reference guardrail stack
+(``chronoedit/_ext/imaginaire/auxiliary/guardrail/``, SURVEY §2.8):
+
+- :class:`GuardrailRunner` chains safety checks and postprocessors
+  (common/core.py:37-65);
+- text preset = :class:`Blocklist` (word/substring lists + simple
+  leet-speak normalization) + an optional LLM classifier
+  (:class:`LLMTextGuard`, the Qwen3Guard/LlamaGuard3 slot);
+- video preset = an optional frame safety classifier
+  (:class:`FrameSafetyClassifier`, the SigLIP+MLP slot) + an optional face
+  blurrer (:class:`FaceBlur`, the RetinaFace slot).
+
+Model-backed checks are *pluggable and gated*: they activate only when their
+(external) weights are supplied — the framework runs fully without them, and
+refuses closed (blocks) only on checks that are actually enabled.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+from typing import Callable, Iterable
+
+import numpy as np
+
+
+class GuardrailBlocked(Exception):
+    """Raised when a guardrail rejects an input/output."""
+
+
+# ---------------------------------------------------------------- runner
+
+class GuardrailRunner:
+    """Chain of (name, check) pairs; a check returns (ok, reason) for text
+    or a possibly-postprocessed array for video."""
+
+    def __init__(self, checks: Iterable[tuple[str, Callable]] = ()):
+        self.checks = list(checks)
+
+    def run_text(self, prompt: str) -> None:
+        for name, check in self.checks:
+            ok, reason = check(prompt)
+            if not ok:
+                raise GuardrailBlocked(f"{name}: {reason}")
+
+    def run_video(self, frames: np.ndarray) -> np.ndarray:
+        """frames: (T, H, W, 3) uint8. Checks may transform (e.g. blur) or
+        raise GuardrailBlocked."""
+        for _, check in self.checks:
+            frames = check(frames)
+        return frames
+
+@dataclasses.dataclass
+class Guardrails:
+    """Pipeline-facing facade: separate text and video runners (the
+    reference keeps distinct presets, common/presets.py:28-43)."""
+
+    text: GuardrailRunner | None = None
+    video: GuardrailRunner | None = None
+
+    def check_text_or_raise(self, prompt: str = "") -> None:
+        if self.text is not None:
+            self.text.run_text(prompt)
+
+    def check_video(self, video):
+        """video: (B, 3, T, H, W) in [-1, 1] (any array type)."""
+        if self.video is None or not self.video.checks:
+            return video
+        import jax.numpy as jnp
+
+        arr = np.asarray(video)
+        out = []
+        for i in range(arr.shape[0]):
+            frames = ((arr[i].transpose(1, 2, 3, 0) + 1) * 127.5
+                      ).clip(0, 255).astype(np.uint8)
+            frames = self.video.run_video(frames)
+            out.append(frames.astype(np.float32).transpose(3, 0, 1, 2)
+                       / 127.5 - 1.0)
+        return jnp.asarray(np.stack(out), dtype=video.dtype)
+
+
+# ---------------------------------------------------------------- blocklist
+
+_LEET = str.maketrans({"0": "o", "1": "i", "3": "e", "4": "a", "5": "s",
+                       "7": "t", "@": "a", "$": "s", "!": "i"})
+
+# minimal built-in denylist; production deployments supply word-list files
+# (the reference ships curated lists as data files, blocklist.py:36-202)
+_DEFAULT_EXACT = ("csam",)
+_DEFAULT_PARTIAL = ("child sexual",)
+
+
+@dataclasses.dataclass
+class Blocklist:
+    """Word-list text filter (exact tokens + partial substrings), applied to
+    a normalized (lowercase, de-leet-speaked) prompt."""
+
+    exact_words: tuple[str, ...] = _DEFAULT_EXACT
+    partial_phrases: tuple[str, ...] = _DEFAULT_PARTIAL
+
+    @classmethod
+    def from_dir(cls, path: str) -> "Blocklist":
+        """Load ``exact.txt`` / ``partial.txt`` word-list files (one entry
+        per line) from a directory."""
+
+        def read(name):
+            p = os.path.join(path, name)
+            if not os.path.exists(p):
+                return ()
+            with open(p) as f:
+                return tuple(w.strip().lower() for w in f if w.strip())
+
+        return cls(exact_words=read("exact.txt") or _DEFAULT_EXACT,
+                   partial_phrases=read("partial.txt") or _DEFAULT_PARTIAL)
+
+    @staticmethod
+    def normalize(prompt: str) -> str:
+        p = prompt.lower().translate(_LEET)
+        return re.sub(r"\s+", " ", p).strip()
+
+    def __call__(self, prompt: str) -> tuple[bool, str]:
+        norm = self.normalize(prompt)
+        tokens = set(re.findall(r"[a-z']+", norm))
+        for w in self.exact_words:
+            if w in tokens:
+                return False, f"blocked word {w!r}"
+        for phrase in self.partial_phrases:
+            if phrase in norm:
+                return False, f"blocked phrase {phrase!r}"
+        return True, ""
+
+
+# ---------------------------------------------------------------- LLM guard
+
+class LLMTextGuard:
+    """LLM-based prompt safety classifier (the Qwen3Guard slot,
+    qwen3guard/qwen3guard.py:30-84). Requires local HF weights."""
+
+    def __init__(self, model_path: str, unsafe_markers: tuple[str, ...] = ("unsafe",)):
+        from transformers import AutoModelForCausalLM, AutoTokenizer
+
+        self.tokenizer = AutoTokenizer.from_pretrained(model_path)
+        self.model = AutoModelForCausalLM.from_pretrained(model_path)
+        self.unsafe_markers = unsafe_markers
+
+    def __call__(self, prompt: str) -> tuple[bool, str]:
+        msgs = [{"role": "user", "content": prompt}]
+        text = self.tokenizer.apply_chat_template(
+            msgs, tokenize=False, add_generation_prompt=True)
+        ids = self.tokenizer(text, return_tensors="pt")
+        out = self.model.generate(**ids, max_new_tokens=32)
+        reply = self.tokenizer.decode(out[0][ids["input_ids"].shape[1]:],
+                                      skip_special_tokens=True).lower()
+        if any(m in reply for m in self.unsafe_markers):
+            return False, f"classifier verdict: {reply[:80]}"
+        return True, ""
+
+
+# ---------------------------------------------------------------- video
+
+class FrameSafetyClassifier:
+    """Per-frame safety classifier slot (the SigLIP encoder + MLP head,
+    video_content_safety_filter.py:50-130). ``classify_fn(frames_uint8) ->
+    bool`` is injected (e.g. a JAX/torch model)."""
+
+    def __init__(self, classify_fn: Callable[[np.ndarray], bool],
+                 sample_every: int = 1):
+        self.classify_fn = classify_fn
+        self.sample_every = sample_every
+
+    def __call__(self, frames: np.ndarray) -> np.ndarray:
+        sampled = frames[:: self.sample_every]
+        if not self.classify_fn(sampled):
+            raise GuardrailBlocked("video safety classifier rejected output")
+        return frames
+
+
+class FaceBlur:
+    """Face-region blur postprocessor (the RetinaFace slot,
+    face_blur_filter.py). ``detect_fn(frame) -> [(x0,y0,x1,y1), ...]``; a
+    pixelation blur is applied to each detection."""
+
+    def __init__(self, detect_fn: Callable[[np.ndarray], list], block: int = 16):
+        self.detect_fn = detect_fn
+        self.block = block
+
+    def __call__(self, frames: np.ndarray) -> np.ndarray:
+        out = frames.copy()
+        for t in range(len(out)):
+            for (x0, y0, x1, y1) in self.detect_fn(out[t]):
+                region = out[t, y0:y1, x0:x1]
+                h, w = region.shape[:2]
+                if h < 2 or w < 2:
+                    continue
+                small = region[:: self.block, :: self.block]
+                out[t, y0:y1, x0:x1] = np.kron(
+                    small, np.ones((self.block, self.block, 1), np.uint8)
+                )[:h, :w]
+        return out
+
+
+# ---------------------------------------------------------------- presets
+
+def text_guardrail(blocklist_dir: str | None = None,
+                   llm_guard_path: str | None = None) -> GuardrailRunner:
+    """Text preset: blocklist (+ LLM classifier when weights are given) —
+    common/presets.py:28-43."""
+    checks: list[tuple[str, Callable]] = [
+        ("blocklist", Blocklist.from_dir(blocklist_dir) if blocklist_dir else Blocklist()),
+    ]
+    if llm_guard_path:
+        checks.append(("llm_guard", LLMTextGuard(llm_guard_path)))
+    return GuardrailRunner(checks)
+
+
+def video_guardrail(classify_fn=None, face_detect_fn=None) -> GuardrailRunner:
+    """Video preset: safety classifier + face blur, each active only when
+    its backing model is supplied."""
+    checks = []
+    if classify_fn is not None:
+        checks.append(("video_safety", FrameSafetyClassifier(classify_fn)))
+    if face_detect_fn is not None:
+        checks.append(("face_blur", FaceBlur(face_detect_fn)))
+    return GuardrailRunner(checks)

@@ -132,10 +132,34 @@ class ChronoEditPipeline:
 
     # -------------------------------------------------------------- denoise
 
-    def _model_fn(self, condition, text_emb, neg_text_emb, image_emb, guidance):
-        """Velocity prediction closure for the solver, including CFG."""
+    def _shard(self, x):
+        """Sequence-shard a (B, C, T, H, W) tensor over the context axis when
+        a mesh is attached (the CP split of broadcast_split_tensor)."""
+        if self.mesh is None or self.mesh.shape.get("context", 1) == 1:
+            return x
+        if x.shape[2] % self.mesh.shape["context"] != 0:
+            # CP requires the frame axis to divide evenly (the reference's
+            # broadcast_split_tensor has the same constraint); fall back to
+            # replicated rather than fail
+            return x
+        from chronoedit_tpu.parallel.context import split_sequence
+
+        return split_sequence(x, self.mesh, seq_dim=2)
+
+    def _model_fn(self, condition, text_emb, neg_text_emb, image_emb, guidance,
+                  slg_layers=()):
+        """Velocity prediction closure for the solver, including CFG and
+        optional SLG (skip-layer guidance: listed blocks are skipped in the
+        *unconditional* forward, wan2pt1.py:842-843)."""
         cfg = self.config
         do_cfg = guidance > 1.0 and neg_text_emb is not None
+        slg_mask = None
+        if slg_layers:
+            import numpy as np
+
+            mask = np.ones((cfg.dit.num_layers,), np.float32)
+            mask[list(slg_layers)] = 0.0
+            slg_mask = jnp.asarray(mask)
 
         if not do_cfg:
             def fn(x, t):
@@ -146,7 +170,7 @@ class ChronoEditPipeline:
                 )
             return fn
 
-        if cfg.cfg_batched:
+        if cfg.cfg_batched and slg_mask is None:
             text2 = jnp.concatenate([text_emb, neg_text_emb], axis=0)
             img2 = None if image_emb is None else jnp.concatenate([image_emb] * 2, axis=0)
             cond2 = jnp.concatenate([condition] * 2, axis=0)
@@ -166,7 +190,8 @@ class ChronoEditPipeline:
             v_cond = dit_lib.dit_forward(
                 self.dit_params, cfg.dit, xin, ts, text_emb, image_emb)
             v_uncond = dit_lib.dit_forward(
-                self.dit_params, cfg.dit, xin, ts, neg_text_emb, image_emb)
+                self.dit_params, cfg.dit, xin, ts, neg_text_emb, image_emb,
+                layer_mask=slg_mask)
             return v_uncond + guidance * (v_cond - v_uncond)
         return fn
 
@@ -184,6 +209,8 @@ class ChronoEditPipeline:
         flow_shift: float | None = None,
         enable_temporal_reasoning: bool = False,
         num_temporal_reasoning_steps: int = 0,
+        slg_layers: tuple[int, ...] = (),
+        prompt: str = "",  # raw prompt text, used only by text guardrails
         key: jax.Array | None = None,
         latents: jnp.ndarray | None = None,
         output_type: str = "video",  # "video" | "latent"
@@ -197,7 +224,7 @@ class ChronoEditPipeline:
         guidance = cfg.guidance_scale if guidance_scale is None else guidance_scale
         shift = flow_shift or cfg.flow_shift
         if self.guardrails is not None:
-            self.guardrails.check_text_or_raise()
+            self.guardrails.check_text_or_raise(prompt)
 
         b, _, h, w = image.shape
         tl = cfg.vae.latent_frames(num_frames)
@@ -209,10 +236,12 @@ class ChronoEditPipeline:
             latents = jax.random.normal(
                 key, (b, cfg.latent_channels, tl, hl, wl), jnp.float32)
 
+        condition = self._shard(condition)
+        latents = self._shard(latents)
         schedule = make_flow_schedule(num_steps, shift=shift)
         coeffs = make_unipc_coeffs(schedule)
         model_fn = self._model_fn(condition, prompt_emb, neg_prompt_emb,
-                                  image_emb, guidance)
+                                  image_emb, guidance, slg_layers)
 
         state = UniPCState.init(latents)
         if enable_temporal_reasoning and num_temporal_reasoning_steps > 0:
@@ -225,7 +254,7 @@ class ChronoEditPipeline:
             state = state.truncate(lambda t: t[:, :, keep])
             condition2 = condition[:, :, keep]
             model_fn2 = self._model_fn(condition2, prompt_emb, neg_prompt_emb,
-                                       image_emb, guidance)
+                                       image_emb, guidance, slg_layers)
             state = run_unipc(model_fn2, coeffs, state, k, num_steps)
             reasoning_latents = None  # full-trajectory video decoded below
         else:

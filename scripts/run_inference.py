@@ -74,6 +74,14 @@ def build_pipeline(args):
     for spec in args.lora:
         path, _, scale = spec.partition(":")
         attach_lora(pipe, path, float(scale or 1.0))
+
+    if mesh is not None:
+        from chronoedit_tpu.parallel import shard_params
+        from chronoedit_tpu.parallel.sharding import dit_param_sharding, replicate
+
+        pipe.dit_params = shard_params(pipe.dit_params, mesh,
+                                       dit_param_sharding(mesh))
+        pipe.vae_params = replicate(pipe.vae_params, mesh)
     return pipe
 
 

@@ -1,0 +1,153 @@
+"""Guardrails, config overrides, profiling/monitoring, visualization, data
+loader tests."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from chronoedit_tpu.aux.guardrails import (
+    Blocklist, FaceBlur, FrameSafetyClassifier, GuardrailBlocked,
+    GuardrailRunner, text_guardrail, video_guardrail,
+)
+from chronoedit_tpu.configs import chronoedit_tiny
+from chronoedit_tpu.data.loaders import CachedReplayLoader, JointLoader, PrefetchLoader
+from chronoedit_tpu.utils.config import apply_overrides, config_to_dict
+from chronoedit_tpu.utils.profiling import SectionTimer, StepTimeMonitor
+
+
+# ---------------------------------------------------------------- guardrails
+
+def test_blocklist_normalization_and_matching():
+    bl = Blocklist(exact_words=("forbidden",), partial_phrases=("very bad thing",))
+    assert bl("a nice prompt")[0]
+    ok, reason = bl("a F0rb1dden word")  # leet-speak normalized
+    assert not ok and "forbidden" in reason
+    assert not bl("this is a VERY  bad   thing indeed")[0]
+
+
+def test_text_guardrail_runner():
+    runner = text_guardrail()
+    runner.run_text("make the cat wear a hat")  # passes
+    runner2 = GuardrailRunner([("bl", Blocklist(exact_words=("nope",)))])
+    with pytest.raises(GuardrailBlocked):
+        runner2.run_text("nope")
+
+
+def test_video_guardrail_classifier_and_blur():
+    frames = np.full((2, 32, 32, 3), 128, np.uint8)
+    runner = video_guardrail(classify_fn=lambda f: True,
+                             face_detect_fn=lambda f: [(4, 4, 20, 20)])
+    out = runner.run_video(frames)
+    assert out.shape == frames.shape
+    # blocked when classifier rejects
+    runner_bad = video_guardrail(classify_fn=lambda f: False)
+    with pytest.raises(GuardrailBlocked):
+        runner_bad.run_video(frames)
+
+
+def test_face_blur_pixelates():
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (1, 64, 64, 3), np.uint8)
+    blur = FaceBlur(lambda f: [(0, 0, 32, 32)], block=8)
+    out = blur(frames)
+    # pixelated region has 8x8 constant blocks
+    region = out[0, :32, :32]
+    assert np.all(region[:8, :8] == region[0, 0])
+    # untouched region unchanged
+    np.testing.assert_array_equal(out[0, 32:, 32:], frames[0, 32:, 32:])
+
+
+# ---------------------------------------------------------------- config
+
+def test_apply_overrides_nested():
+    cfg = chronoedit_tiny()
+    out = apply_overrides(cfg, ["dit.num_layers=7", "guidance_scale=3.5",
+                                "vae.dim=12"])
+    assert out.dit.num_layers == 7
+    assert out.guidance_scale == 3.5
+    assert out.vae.dim == 12
+    assert cfg.dit.num_layers == 2  # original untouched
+
+
+def test_apply_overrides_errors():
+    cfg = chronoedit_tiny()
+    with pytest.raises(KeyError):
+        apply_overrides(cfg, ["dit.nope=1"])
+    with pytest.raises(ValueError):
+        apply_overrides(cfg, ["no_equals_sign"])
+
+
+def test_config_to_dict():
+    d = config_to_dict(chronoedit_tiny())
+    assert d["dit"]["num_layers"] == 2
+    assert isinstance(d["vae"]["dim_mult"], tuple)
+
+
+# ---------------------------------------------------------------- profiling
+
+def test_section_timer():
+    t = SectionTimer()
+    with t.section("a"):
+        pass
+    with t.section("a"):
+        pass
+    rep = t.report()
+    assert rep["a"]["count"] == 2 and rep["a"]["total_s"] >= 0
+
+
+def test_step_time_monitor_flags_stragglers():
+    mon = StepTimeMonitor(threshold=1.5, max_consecutive=3)
+    for _ in range(10):
+        assert not mon.record(1.0)
+    assert mon.record(10.0)  # outlier
+    mon.record(10.0)
+    assert not mon.should_raise
+    mon.record(10.0)
+    assert mon.should_raise
+    assert mon.report()["max_s"] == 10.0
+
+
+# ---------------------------------------------------------------- loaders
+
+def test_prefetch_loader_order_and_errors():
+    assert list(PrefetchLoader(range(5))) == [0, 1, 2, 3, 4]
+
+    def boom():
+        yield 1
+        raise RuntimeError("upstream died")
+
+    it = iter(PrefetchLoader(boom()))
+    assert next(it) == 1
+    with pytest.raises(RuntimeError):
+        next(it)
+
+
+def test_joint_loader_ratio():
+    jl = JointLoader({"img": (iter(range(100)), 2),
+                      "vid": (iter(range(100, 200)), 1)})
+    names = [name for name, _ in zip((n for n, _ in iter(jl)), range(6))]
+    assert names == ["img", "img", "vid", "img", "img", "vid"]
+
+
+def test_cached_replay_loader():
+    out = []
+    for i, batch in zip(range(4), CachedReplayLoader(iter([10, 20]), replays=2,
+                                                     augment=lambda b, i: b + i)):
+        out.append(batch)
+    assert out == [10, 11, 20, 21]
+
+
+# ---------------------------------------------------------------- visualize
+
+def test_save_img_or_video(tmp_path):
+    pytest.importorskip("PIL")
+    from chronoedit_tpu.utils.visualize import save_img_or_video, to_uint8
+
+    img = np.zeros((3, 8, 8), np.float32)
+    path = str(tmp_path / "frame.png")
+    save_img_or_video(path, img)
+    assert os.path.exists(path)
+    assert to_uint8(img).shape == (8, 8, 3)
+    assert to_uint8(np.zeros((3, 2, 4, 4)))[0, 0, 0, 0] == 127

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Flash-attention tile tuner: sweep (block_q, block_kv) on the real chip.
+
+Run on TPU:  python tools/tune_attention.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from chronoedit_tpu.ops.flash_attention import flash_attention
+
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+def readback_overhead():
+    f = jax.jit(lambda x: jnp.sum(x))
+    x = jnp.ones((8, 8), jnp.float32)
+    for _ in range(3):
+        float(f(x))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        float(f(x))
+    return (time.perf_counter() - t0) / 10
+
+
+def main():
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    B, S, H, D = 2, 7200, 40, 128
+    q = jax.random.normal(ks[0], (B, S, H, D), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (B, S, H, D), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (B, S, H, D), jnp.bfloat16)
+    k2 = jax.random.normal(ks[1], (B, 769, H, D), jnp.bfloat16)
+    v2 = jax.random.normal(ks[2], (B, 769, H, D), jnp.bfloat16)
+    scale = D ** -0.5
+    flops = 4 * B * H * S * S * D
+    rb = readback_overhead()
+    print(f"readback overhead: {rb * 1e3:.1f} ms")
+
+    ref = None
+    for bq in (256, 512, 1024, 2048):
+        for bkv in (512, 1024, 2048):
+            try:
+                f = jax.jit(lambda q, k, v, bq=bq, bkv=bkv: jnp.sum(
+                    flash_attention(q, k, v, scale=scale, block_q=bq,
+                                    block_kv=bkv).astype(jnp.float32)))
+                s0 = float(f(q, k, v))
+                if ref is None:
+                    ref = s0
+                t0 = time.perf_counter()
+                for _ in range(5):
+                    float(f(q, k, v))
+                dt = (time.perf_counter() - t0) / 5 - rb
+                ok = abs(s0 - ref) < abs(ref) * 1e-3 + 1.0
+                print(f"bq={bq:5d} bkv={bkv:5d}: {dt * 1e3:7.2f} ms "
+                      f"({flops / dt / 1e12:6.1f} TFLOP/s) sum_ok={ok}",
+                      flush=True)
+            except Exception as e:
+                print(f"bq={bq:5d} bkv={bkv:5d}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:100]}", flush=True)
+
+    # cross-attention shape
+    f = jax.jit(lambda q, k, v: jnp.sum(
+        flash_attention(q, k, v, scale=scale).astype(jnp.float32)))
+    float(f(q, k2, v2))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(f(q, k2, v2))
+    print(f"cross 769kv: {((time.perf_counter() - t0) / 5 - rb) * 1e3:.2f} ms",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -122,7 +122,12 @@ def main():
     step_1chip = 40 * dit["per_block_s"] + dit["overhead_s"]
     comm_penalty = 1.15
     step_8chip = step_1chip / N_CHIPS_TARGET * comm_penalty
-    total = DENOISE_STEPS * step_8chip + vae["encode_s"] + vae["decode_s"]
+    # VAE is spatially sharded over the mesh (H-axis GSPMD halo exchange;
+    # bit-exact vs unsharded, tests/test_vae_sharded.py) — scale with a
+    # conservative 1.4x halo/comm penalty
+    vae_penalty = 1.4
+    vae_8chip = (vae["encode_s"] + vae["decode_s"]) / N_CHIPS_TARGET * vae_penalty
+    total = DENOISE_STEPS * step_8chip + vae_8chip
 
     print(json.dumps({
         "metric": "estimated sec/edit, 720p, 8-step distilled, v5e-8 (extrapolated from 1-chip)",
@@ -135,7 +140,9 @@ def main():
             "dit_step_s_1chip_cfg_batched": round(step_1chip, 4),
             "vae_encode_s": round(vae["encode_s"], 4),
             "vae_decode_s": round(vae["decode_s"], 4),
-            "assumptions": f"{N_CHIPS_TARGET}-chip ideal scaling x{comm_penalty} comm penalty; VAE unsharded",
+            "assumptions": (f"{N_CHIPS_TARGET}-chip scaling: DiT x{comm_penalty} "
+                            f"comm penalty, VAE spatially sharded x{vae_penalty} "
+                            "halo penalty"),
         },
     }))
 

@@ -23,9 +23,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Tunables: q tile rows / kv tile rows (see tools/tune_attention.py results).
-_BLOCK_Q = 512
-_BLOCK_KV = 512
+# Tunables: q tile rows / kv tile rows. Swept with tools/tune_attention.py on
+# v5e (720p edit shapes, B2 S7200 H40 D128): bq=256 hits 128 TFLOP/s (~65% of
+# peak); larger q tiles fail to compile (VMEM) or run slower.
+_BLOCK_Q = 256
+_BLOCK_KV = 1024
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,

@@ -62,6 +62,7 @@ def prepare_condition(
     cfg: PipelineConfig,
     image: jnp.ndarray,
     num_frames: int,
+    mesh=None,
 ) -> jnp.ndarray:
     """Build the 20-channel conditioning volume from the input image.
 
@@ -78,7 +79,7 @@ def prepare_condition(
         [image[:, :, None], jnp.zeros((b, c, num_frames - 1, h, w), image.dtype)],
         axis=2,
     )
-    cond_latents = vae_lib.vae_encode(vae_params, cfg.vae, video)
+    cond_latents = vae_lib.vae_encode(vae_params, cfg.vae, video, mesh=mesh)
 
     hl, wl = h // cfg.vae.spatial_factor, w // cfg.vae.spatial_factor
     # mask over pixel frames: frame 0 -> 1, rest 0; first frame replicated
@@ -230,7 +231,8 @@ class ChronoEditPipeline:
         tl = cfg.vae.latent_frames(num_frames)
         hl, wl = h // cfg.vae.spatial_factor, w // cfg.vae.spatial_factor
 
-        condition = prepare_condition(self.vae_params, cfg, image, num_frames)
+        condition = prepare_condition(self.vae_params, cfg, image, num_frames,
+                                      mesh=self.mesh)
         if latents is None:
             key = key if key is not None else jax.random.PRNGKey(0)
             latents = jax.random.normal(
@@ -263,7 +265,8 @@ class ChronoEditPipeline:
         final = state.x
         if output_type == "latent":
             return final
-        video = vae_lib.vae_decode(self.vae_params, cfg.vae, final)
+        video = vae_lib.vae_decode(self.vae_params, cfg.vae, final,
+                                   mesh=self.mesh)
         if self.guardrails is not None:
             video = self.guardrails.check_video(video)
         return video

@@ -109,6 +109,39 @@ class HeartbeatCallback(Callback):
                 f.write(f"{now} step={step}\n")
 
 
+class EveryNDrawSample(Callback):
+    """Periodically draw validation samples during training (the
+    EveryNDrawSample callback, every_n_draw_sample.py:65-130: sampling under
+    the EMA weights with a guidance sweep).
+
+    ``sample_fn(params, guidance) -> (C, T, H, W) [-1,1] array``; outputs go
+    to ``{out_dir}/iter{N}_g{guidance}`` via the visualize writers.
+    """
+
+    def __init__(self, every_n: int, sample_fn, out_dir: str = "samples",
+                 guidance_sweep: tuple[float, ...] = (5.0,), use_ema: bool = True):
+        self.every_n = every_n
+        self.sample_fn = sample_fn
+        self.out_dir = out_dir
+        self.guidance_sweep = guidance_sweep
+        self.use_ema = use_ema
+
+    def on_step_end(self, trainer, step, metrics):
+        if step == 0 or step % self.every_n:
+            return
+        from chronoedit_tpu.utils.visualize import save_img_or_video
+
+        state = getattr(trainer, "_last_state", None)
+        params = None
+        if state is not None:
+            params = state.ema_params if (self.use_ema and state.ema_params
+                                          is not None) else state.params
+        for g in self.guidance_sweep:
+            sample = self.sample_fn(params, g)
+            save_img_or_video(
+                os.path.join(self.out_dir, f"iter{step:07d}_g{g:g}"), sample)
+
+
 class StepTimeoutWatchdog(Callback):
     """Raise if any step exceeds a wall-clock budget (SIGALRM watchdog,
     trainer.py:146-147 — exception-based here; SIGALRM is process-global

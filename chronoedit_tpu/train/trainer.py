@@ -92,6 +92,7 @@ class Trainer:
             if self.cfg.profile_start >= 0 and it == self.cfg.profile_start + self.cfg.profile_steps:
                 jax.profiler.stop_trace()
 
+            self._last_state = state  # for sampling callbacks
             self.callbacks.on_step_end(self, it, metrics)
             if self.checkpoints is not None and (it + 1) % self.cfg.save_every == 0:
                 self.checkpoints.save(it + 1, state)

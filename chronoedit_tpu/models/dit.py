@@ -73,6 +73,12 @@ class DiTConfig:
     param_dtype: Any = jnp.float32
     # remat ("none" | "full" | "matmul_only" ~ reference SAC mm_only)
     remat: str = "none"
+    # context-parallel self-attention: "gspmd" lets XLA insert all-gathers
+    # for sequence-sharded tokens; "ring" uses the explicit ppermute ring
+    # kernel (TE cp_comm_type="p2p" equivalent); "ulysses" uses all-to-all
+    # head resharding (xDiT USP equivalent). Only used when a mesh with a
+    # context axis > 1 is passed to dit_forward.
+    context_parallel: str = "gspmd"
 
     @property
     def dim(self) -> int:
@@ -175,8 +181,15 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, s, h * d)
 
 
-def _self_attention(p: Params, x: jnp.ndarray, rope_cos, rope_sin, cfg: DiTConfig):
-    """Self-attention with qk rms-norm (across heads) and 3D RoPE."""
+def _self_attention(p: Params, x: jnp.ndarray, rope_cos, rope_sin,
+                    cfg: DiTConfig, mesh=None):
+    """Self-attention with qk rms-norm (across heads) and 3D RoPE.
+
+    With a context-sharded token stream, RoPE tables are already per-global-
+    position (full-length tables sliced by the sharding — the reference
+    generates full-length RoPE then splits per CP rank, wan2pt1.py:69-90;
+    GSPMD does that slicing for us).
+    """
     from chronoedit_tpu.core.rope import apply_rope
 
     q = L.rms_norm(p["q_norm"], L.linear(p["q"], x), cfg.eps)
@@ -186,7 +199,17 @@ def _self_attention(p: Params, x: jnp.ndarray, rope_cos, rope_sin, cfg: DiTConfi
     cos, sin = rope_cos[:, None, :], rope_sin[:, None, :]  # broadcast over heads
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    out = dot_product_attention(q, k, v)
+
+    use_cp = (mesh is not None and cfg.context_parallel != "gspmd"
+              and mesh.shape.get("context", 1) > 1
+              and q.shape[1] % mesh.shape["context"] == 0)
+    if use_cp:
+        from chronoedit_tpu.parallel.context import ring_attention, ulysses_attention
+
+        attn = ring_attention if cfg.context_parallel == "ring" else ulysses_attention
+        out = attn(q, k, v, mesh)
+    else:
+        out = dot_product_attention(q, k, v)
     return L.linear(p["o"], _merge_heads(out))
 
 
@@ -231,7 +254,7 @@ def _gate(x: jnp.ndarray, delta: jnp.ndarray, gate: jnp.ndarray, hw: int,
 
 
 def dit_block(p: Params, x: jnp.ndarray, text_ctx, img_ctx, e: jnp.ndarray,
-              rope_cos, rope_sin, hw: int, cfg: DiTConfig) -> jnp.ndarray:
+              rope_cos, rope_sin, hw: int, cfg: DiTConfig, mesh=None) -> jnp.ndarray:
     """One transformer block (transformer_chronoedit.py:267-295).
 
     Args:
@@ -248,7 +271,7 @@ def dit_block(p: Params, x: jnp.ndarray, text_ctx, img_ctx, e: jnp.ndarray,
     # self-attention
     norm_x = L.layer_norm({}, x, cfg.eps)  # fp32, no affine
     norm_x = _modulate(norm_x, scale_msa, shift_msa, hw).astype(x.dtype)
-    attn = _self_attention(p["self_attn"], norm_x, rope_cos, rope_sin, cfg)
+    attn = _self_attention(p["self_attn"], norm_x, rope_cos, rope_sin, cfg, mesh)
     x = _gate(x, attn, gate_msa, hw, x.dtype)
 
     # cross-attention (plain residual add, reference line 286)
@@ -330,6 +353,7 @@ def dit_forward(
     text_emb: jnp.ndarray,
     image_emb: jnp.ndarray | None = None,
     layer_mask: jnp.ndarray | None = None,
+    mesh=None,
 ) -> jnp.ndarray:
     """Velocity prediction.
 
@@ -365,20 +389,23 @@ def dit_forward(
 
     block_fn = dit_block
     if cfg.remat == "full":
-        block_fn = jax.checkpoint(dit_block, static_argnums=(7, 8))
+        block_fn = jax.checkpoint(dit_block, static_argnums=(7, 8, 9))
     elif cfg.remat == "matmul_only":
         # ~ reference SAC "mm_only": save matmul/attention outputs only
         policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-        block_fn = jax.checkpoint(dit_block, policy=policy, static_argnums=(7, 8))
+        block_fn = jax.checkpoint(dit_block, policy=policy,
+                                  static_argnums=(7, 8, 9))
 
     if layer_mask is None:
         def body(carry, bp):
-            out = block_fn(bp, carry, text_ctx, img_ctx, t_proj, cos, sin, hw, cfg)
+            out = block_fn(bp, carry, text_ctx, img_ctx, t_proj, cos, sin,
+                           hw, cfg, mesh)
             return out, None
     else:
         def body(carry, xs):
             bp, m = xs
-            out = block_fn(bp, carry, text_ctx, img_ctx, t_proj, cos, sin, hw, cfg)
+            out = block_fn(bp, carry, text_ctx, img_ctx, t_proj, cos, sin,
+                           hw, cfg, mesh)
             out = jnp.where(m > 0.5, out, carry)
             return out, None
 

@@ -167,7 +167,8 @@ class ChronoEditPipeline:
                 xin = jnp.concatenate([x.astype(cfg.dit.dtype), condition], axis=1)
                 ts = jnp.broadcast_to(t, (x.shape[0],))
                 return dit_lib.dit_forward(
-                    self.dit_params, cfg.dit, xin, ts, text_emb, image_emb
+                    self.dit_params, cfg.dit, xin, ts, text_emb, image_emb,
+                    mesh=self.mesh,
                 )
             return fn
 
@@ -180,7 +181,7 @@ class ChronoEditPipeline:
                 x2 = jnp.concatenate([x, x], axis=0).astype(cfg.dit.dtype)
                 xin = jnp.concatenate([x2, cond2], axis=1)
                 ts = jnp.broadcast_to(t, (x2.shape[0],))
-                v = dit_lib.dit_forward(self.dit_params, cfg.dit, xin, ts, text2, img2)
+                v = dit_lib.dit_forward(self.dit_params, cfg.dit, xin, ts, text2, img2, mesh=self.mesh)
                 v_cond, v_uncond = jnp.split(v, 2, axis=0)
                 return v_uncond + guidance * (v_cond - v_uncond)
             return fn
@@ -189,10 +190,11 @@ class ChronoEditPipeline:
             xin = jnp.concatenate([x.astype(cfg.dit.dtype), condition], axis=1)
             ts = jnp.broadcast_to(t, (x.shape[0],))
             v_cond = dit_lib.dit_forward(
-                self.dit_params, cfg.dit, xin, ts, text_emb, image_emb)
+                self.dit_params, cfg.dit, xin, ts, text_emb, image_emb,
+                mesh=self.mesh)
             v_uncond = dit_lib.dit_forward(
                 self.dit_params, cfg.dit, xin, ts, neg_text_emb, image_emb,
-                layer_mask=slg_mask)
+                layer_mask=slg_mask, mesh=self.mesh)
             return v_uncond + guidance * (v_cond - v_uncond)
         return fn
 
@@ -246,27 +248,41 @@ class ChronoEditPipeline:
                                   image_emb, guidance, slg_layers)
 
         state = UniPCState.init(latents)
-        if enable_temporal_reasoning and num_temporal_reasoning_steps > 0:
-            k = num_temporal_reasoning_steps
-            state = run_unipc(model_fn, coeffs, state, 0, k)
-            # drop the intermediate "reasoning token" frames: keep [first,last]
+        if (enable_temporal_reasoning
+                and 0 < num_temporal_reasoning_steps < num_steps):
+            # mid-loop drop: keep [first, last] after k steps
             # (pipeline_chronoedit.py:700-709 truncates latents, condition,
             # solver history and last_sample alike)
+            k = num_temporal_reasoning_steps
+            state = run_unipc(model_fn, coeffs, state, 0, k)
             keep = jnp.array([0, tl - 1])
             state = state.truncate(lambda t: t[:, :, keep])
             condition2 = condition[:, :, keep]
             model_fn2 = self._model_fn(condition2, prompt_emb, neg_prompt_emb,
                                        image_emb, guidance, slg_layers)
             state = run_unipc(model_fn2, coeffs, state, k, num_steps)
-            reasoning_latents = None  # full-trajectory video decoded below
         else:
+            # full run; in reasoning mode (k >= num_steps, the reference CLI
+            # default of 50/50) the whole trajectory survives to decoding
             state = run_unipc(model_fn, coeffs, state, 0, num_steps)
 
         final = state.x
         if output_type == "latent":
             return final
-        video = vae_lib.vae_decode(self.vae_params, cfg.vae, final,
-                                   mesh=self.mesh)
+
+        if enable_temporal_reasoning and num_temporal_reasoning_steps > 0:
+            # dual decode (pipeline_chronoedit.py:776-781): the edit pair
+            # decodes as endpoints; the reasoning trajectory (all but the
+            # last latent frame) decodes as the video; outputs concatenate
+            idx = jnp.array([0, final.shape[2] - 1])
+            video_edit = vae_lib.vae_decode(
+                self.vae_params, cfg.vae, final[:, :, idx], mesh=self.mesh)
+            video_reason = vae_lib.vae_decode(
+                self.vae_params, cfg.vae, final[:, :, :-1], mesh=self.mesh)
+            video = jnp.concatenate([video_reason, video_edit[:, :, 1:]], axis=2)
+        else:
+            video = vae_lib.vae_decode(self.vae_params, cfg.vae, final,
+                                       mesh=self.mesh)
         if self.guardrails is not None:
             video = self.guardrails.check_video(video)
         return video

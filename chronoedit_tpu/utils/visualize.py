@@ -25,13 +25,21 @@ def save_image(path: str, image: np.ndarray):
     Image.fromarray(to_uint8(image)).save(path)
 
 
-def save_video(path: str, video: np.ndarray, fps: int = 16):
-    """video: (C, T, H, W) in [-1, 1] -> mp4/gif by extension."""
+def save_video(path: str, video: np.ndarray, fps: int = 16) -> str:
+    """video: (C, T, H, W) in [-1, 1] -> mp4/gif by extension. Falls back to
+    GIF when no mp4 backend (ffmpeg/pyav) is installed. Returns the path
+    actually written."""
     import imageio
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    frames = to_uint8(video)
-    imageio.mimsave(path, list(frames), fps=fps)
+    frames = list(to_uint8(video))
+    try:
+        imageio.mimsave(path, frames, fps=fps)
+        return path
+    except (ValueError, ImportError, IndexError):
+        alt = os.path.splitext(path)[0] + ".gif"
+        imageio.mimsave(alt, frames, duration=1000.0 / fps, loop=0)
+        return alt
 
 
 def save_img_or_video(path: str, data: np.ndarray, fps: int = 16):

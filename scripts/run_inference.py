@@ -167,20 +167,28 @@ def main():
                                          (1, cfg.dit.image_tokens, cfg.dit.image_dim))
                        if cfg.dit.image_dim else None))
 
-    frame = pipe.edit_image(
+    video = pipe(
         image, prompt_emb, neg_prompt_emb=neg_emb, image_emb=image_emb,
         num_steps=args.num_steps, guidance_scale=args.guidance_scale,
-        flow_shift=args.flow_shift,
+        flow_shift=args.flow_shift, prompt=args.prompt,
         enable_temporal_reasoning=args.enable_temporal_reasoning,
         num_temporal_reasoning_steps=args.num_temporal_reasoning_steps,
         key=jax.random.PRNGKey(args.seed),
     )
-    arr = np.asarray(frame[0]).transpose(1, 2, 0)
+    # edit result = last frame; reasoning mode additionally exports the
+    # trajectory video (run_inference_diffusers.py:453-467)
+    arr = np.asarray(video[0, :, -1]).transpose(1, 2, 0)
     arr = np.clip((arr + 1) * 127.5, 0, 255).astype(np.uint8)
     from PIL import Image
 
     Image.fromarray(arr).save(args.output)
     print(f"saved edit -> {args.output} ({arr.shape[1]}x{arr.shape[0]})")
+    if args.enable_temporal_reasoning:
+        from chronoedit_tpu.utils.visualize import save_video
+
+        vid_path = save_video(os.path.splitext(args.output)[0] + ".mp4",
+                              np.asarray(video[0]), fps=8)
+        print(f"saved reasoning video -> {vid_path} ({video.shape[2]} frames)")
 
 
 if __name__ == "__main__":

@@ -86,9 +86,18 @@ def test_temporal_reasoning_mode(tiny_pipeline):
                           enable_temporal_reasoning=True,
                           num_temporal_reasoning_steps=2,
                           key=jax.random.PRNGKey(6))
-    # after the drop: 2 latent frames -> 1 + (2-1)*2 = 3 pixel frames
+    # after the drop: 2 latent frames; dual decode -> reason(1 px) + edit[1:]
     assert video.shape == (1, 3, 3, 8, 8)
     assert bool(jnp.isfinite(video).all())
+
+    # full-trajectory submode (k >= num_steps, the reference CLI default):
+    # no drop; dual decode returns the whole 9-frame reasoning video
+    video_full = tiny_pipeline(image, prompt, neg, img, num_frames=9,
+                               enable_temporal_reasoning=True,
+                               num_temporal_reasoning_steps=99,
+                               key=jax.random.PRNGKey(6))
+    assert video_full.shape == (1, 3, 9, 8, 8)
+    assert bool(jnp.isfinite(video_full).all())
 
 
 def test_deterministic_given_key(tiny_pipeline):

@@ -66,19 +66,24 @@ def _readback_overhead() -> float:
     return _timeit(f, x, warmup=3, iters=10)
 
 
-def bench_dit_block_ms() -> dict:
+def bench_dit_block_ms(batch: int) -> dict:
+    """Per-block DiT latency at 720p edit shapes.
+
+    batch=1 is the 8-step distilled path (guidance 1.0 -> single forward);
+    batch=2 is the CFG-batched base-model path.
+    NOTE: random data, not zeros — the runtime fast-paths all-zero buffers
+    and timings collapse to dispatch overhead.
+    """
     from chronoedit_tpu.configs import chronoedit_14b
     from chronoedit_tpu.models import dit as dit_lib
 
     base = chronoedit_14b().dit
-    # CFG-batched 720p edit: (2, 36, 2, 90, 160) -> 2 x 7200 tokens.
-    # NOTE: random data, not zeros — the runtime fast-paths all-zero buffers
-    # and timings collapse to dispatch overhead.
     ks = jax.random.split(jax.random.PRNGKey(7), 3)
-    x = jax.random.normal(ks[0], (2, base.in_channels, 2, 90, 160), jnp.bfloat16)
-    ts = jnp.full((2,), 500.0, jnp.float32)
-    text = jax.random.normal(ks[1], (2, 512, base.text_dim), jnp.bfloat16)
-    img = jax.random.normal(ks[2], (2, base.image_tokens, base.image_dim), jnp.bfloat16)
+    x = jax.random.normal(ks[0], (batch, base.in_channels, 2, 90, 160), jnp.bfloat16)
+    ts = jnp.full((batch,), 500.0, jnp.float32)
+    text = jax.random.normal(ks[1], (batch, 512, base.text_dim), jnp.bfloat16)
+    img = jax.random.normal(ks[2], (batch, base.image_tokens, base.image_dim),
+                            jnp.bfloat16)
 
     readback = _readback_overhead()
     times = {}
@@ -116,28 +121,34 @@ def bench_vae_s() -> dict:
 
 def main():
     dev = jax.devices()[0]
-    dit = bench_dit_block_ms()
+    dit1 = bench_dit_block_ms(batch=1)  # distilled: guidance 1.0, no CFG
+    dit2 = bench_dit_block_ms(batch=2)  # base model: CFG-batched
     vae = bench_vae_s()
 
-    step_1chip = 40 * dit["per_block_s"] + dit["overhead_s"]
     comm_penalty = 1.15
-    step_8chip = step_1chip / N_CHIPS_TARGET * comm_penalty
     # VAE is spatially sharded over the mesh (H-axis GSPMD halo exchange;
     # bit-exact vs unsharded, tests/test_vae_sharded.py) — scale with a
     # conservative 1.4x halo/comm penalty
     vae_penalty = 1.4
     vae_8chip = (vae["encode_s"] + vae["decode_s"]) / N_CHIPS_TARGET * vae_penalty
-    total = DENOISE_STEPS * step_8chip + vae_8chip
+
+    def estimate(dit, steps):
+        step_1chip = 40 * dit["per_block_s"] + dit["overhead_s"]
+        return steps * step_1chip / N_CHIPS_TARGET * comm_penalty + vae_8chip
+
+    total = estimate(dit1, DENOISE_STEPS)
+    total_cfg50 = estimate(dit2, 50)
 
     print(json.dumps({
-        "metric": "estimated sec/edit, 720p, 8-step distilled, v5e-8 (extrapolated from 1-chip)",
+        "metric": "estimated sec/edit, 720p, 8-step distilled (guidance 1.0), v5e-8 (extrapolated from 1-chip)",
         "value": round(total, 4),
         "unit": "s",
         "vs_baseline": round(TARGET_SEC / total, 3),
         "detail": {
             "device": str(dev),
-            "dit_block_s_1chip": round(dit["per_block_s"], 5),
-            "dit_step_s_1chip_cfg_batched": round(step_1chip, 4),
+            "dit_block_s_1chip_b1": round(dit1["per_block_s"], 5),
+            "dit_block_s_1chip_b2_cfg": round(dit2["per_block_s"], 5),
+            "est_sec_per_edit_50step_cfg": round(total_cfg50, 3),
             "vae_encode_s": round(vae["encode_s"], 4),
             "vae_decode_s": round(vae["decode_s"], 4),
             "assumptions": (f"{N_CHIPS_TARGET}-chip scaling: DiT x{comm_penalty} "

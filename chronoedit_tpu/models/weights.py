@@ -273,6 +273,33 @@ def convert_diffusers_lora(sd: StateDict, num_layers: int = 40) -> tuple[Params,
     return lora, scaling
 
 
+def export_diffusers_lora(lora: Params, alpha: float | None = None) -> StateDict:
+    """Adapter pytree -> diffusers-dialect LoRA state dict (inverse of
+    :func:`convert_diffusers_lora`) for use with the reference ecosystem."""
+    inv = {v: k for k, v in _LORA_NAME_MAP.items()}
+    sd: StateDict = {}
+    for path, ab in _iter_lora_leaves_w(lora.get("blocks", {}), ""):
+        mod = inv[path]
+        a = np.asarray(ab["a"])  # (L, din, r)
+        b = np.asarray(ab["b"])  # (L, r, dout)
+        for i in range(a.shape[0]):
+            sd[f"transformer.blocks.{i}.{mod}.lora_A.weight"] = np.ascontiguousarray(a[i].T)
+            sd[f"transformer.blocks.{i}.{mod}.lora_B.weight"] = np.ascontiguousarray(b[i].T)
+            if alpha is not None:
+                sd[f"transformer.blocks.{i}.{mod}.alpha"] = np.full(
+                    (), alpha, np.float32)
+    return sd
+
+
+def _iter_lora_leaves_w(tree, prefix):
+    for name, sub in tree.items():
+        path = name if not prefix else f"{prefix}/{name}"
+        if isinstance(sub, dict) and "a" in sub and "b" in sub:
+            yield path, sub
+        elif isinstance(sub, dict):
+            yield from _iter_lora_leaves_w(sub, path)
+
+
 def convert_musubi_lora(sd: StateDict, num_layers: int = 40) -> tuple[Params, float]:
     """musubi-tuner dialect: ``lora_unet_blocks_{i}_{module}.lora_down.weight``
     (models/utils.py:_convert_musubi_wan_lora_to_non_diffusers_wan)."""

@@ -37,6 +37,15 @@ def parse_args():
                    help="e.g. 'fsdp=8' or 'data=2,fsdp=2,context=2'")
     p.add_argument("--remat", type=str, default="none",
                    choices=["none", "full", "matmul_only"])
+    p.add_argument("--lora-rank", type=int, default=0,
+                   help=">0: LoRA fine-tune (frozen base, rank-R adapters on "
+                        "q,k,v,o,ffn — the DiffSynth train_diffsynth.py path)")
+    p.add_argument("--base-checkpoint", type=str, default=None,
+                   help="diffusers safetensors glob for the frozen base "
+                        "weights (LoRA mode; random base if omitted)")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   help="config override key=value (repeatable), e.g. "
+                        "--set dit.num_layers=8")
     p.add_argument("--smoke", action="store_true",
                    help="max_iter=2, no checkpoints (reference train.py --smoke)")
     p.add_argument("--dryrun", action="store_true",
@@ -65,6 +74,10 @@ def main():
     from chronoedit_tpu.train.trainer import Trainer, TrainerConfig
 
     pipe_cfg = get_experiment(args.experiment)
+    if args.overrides:
+        from chronoedit_tpu.utils.config import apply_overrides
+
+        pipe_cfg = apply_overrides(pipe_cfg, args.overrides)
     dit_cfg = dataclasses.replace(pipe_cfg.dit, remat=args.remat)
     train_cfg = TrainConfig(lr=args.lr, grad_accum=args.grad_accum,
                             warmup_steps=min(1000, max(1, args.max_iter // 10)))
@@ -105,6 +118,10 @@ def main():
         data = iter(PrefetchLoader(
             _edit_batches(ds, vae_params, pipe_cfg, args.batch_size)))
 
+    if args.lora_rank > 0:
+        _train_lora(args, pipe_cfg, dit_cfg, train_cfg, params, data)
+        return
+
     callbacks = [IterSpeedCallback(log_every=10 if args.smoke else 50),
                  HeartbeatCallback(path=os.path.join(
                      args.checkpoint_dir or ".", "heartbeat.txt"))]
@@ -121,6 +138,45 @@ def main():
     with ctx:
         state = trainer.train(state, data)
     print(f"done at step {int(state.step)}")
+
+
+def _train_lora(args, pipe_cfg, dit_cfg, train_cfg, base_params, data):
+    """LoRA fine-tune (the train_diffsynth.py recipe: rank-R adapters on the
+    attention/ffn projections of every block, frozen base)."""
+    import glob
+
+    import jax
+
+    from chronoedit_tpu.models import lora as lora_lib
+    from chronoedit_tpu.models import weights as w
+    from chronoedit_tpu.train.lora_train import (
+        make_lora_train_state, make_lora_train_step)
+
+    if args.base_checkpoint:
+        sd = w.load_safetensors(sorted(glob.glob(args.base_checkpoint)))
+        base_params = jax.tree_util.tree_map(
+            jax.numpy.asarray,
+            w.convert_diffusers_dit(sd, num_layers=dit_cfg.num_layers))
+
+    lcfg = lora_lib.LoRAConfig(rank=args.lora_rank, alpha=float(args.lora_rank))
+    lora = lora_lib.init_lora_params(jax.random.PRNGKey(1), base_params, lcfg)
+    state = make_lora_train_state(lora, train_cfg)
+    step = make_lora_train_step(dit_cfg, train_cfg, lcfg, donate=False)
+
+    key = jax.random.PRNGKey(0)
+    for it in range(args.max_iter):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, base_params, next(data), sub)
+        if it % 10 == 0:
+            print(f"[lora iter {it}] loss={float(metrics['loss']):.4f}")
+
+    out = os.path.join(args.checkpoint_dir or ".", "lora.safetensors")
+    from safetensors.numpy import save_file
+
+    sd_out = w.export_diffusers_lora(state.lora_params, alpha=lcfg.alpha)
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    save_file(sd_out, out)
+    print(f"saved LoRA -> {out} ({len(sd_out)} tensors)")
 
 
 def _edit_batches(ds, vae_params, pipe_cfg, batch_size):

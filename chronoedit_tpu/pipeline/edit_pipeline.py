@@ -118,6 +118,7 @@ class ChronoEditPipeline:
         self.image_encoder = image_encoder
         self.guardrails = guardrails
         self.mesh = mesh
+        self._jit_cache: dict = {}
 
     # -------------------------------------------------------------- encode
 
@@ -147,8 +148,8 @@ class ChronoEditPipeline:
 
         return split_sequence(x, self.mesh, seq_dim=2)
 
-    def _model_fn(self, condition, text_emb, neg_text_emb, image_emb, guidance,
-                  slg_layers=()):
+    def _model_fn(self, dit_params, condition, text_emb, neg_text_emb,
+                  image_emb, guidance, slg_layers=()):
         """Velocity prediction closure for the solver, including CFG and
         optional SLG (skip-layer guidance: listed blocks are skipped in the
         *unconditional* forward, wan2pt1.py:842-843)."""
@@ -167,7 +168,7 @@ class ChronoEditPipeline:
                 xin = jnp.concatenate([x.astype(cfg.dit.dtype), condition], axis=1)
                 ts = jnp.broadcast_to(t, (x.shape[0],))
                 return dit_lib.dit_forward(
-                    self.dit_params, cfg.dit, xin, ts, text_emb, image_emb,
+                    dit_params, cfg.dit, xin, ts, text_emb, image_emb,
                     mesh=self.mesh,
                 )
             return fn
@@ -181,7 +182,8 @@ class ChronoEditPipeline:
                 x2 = jnp.concatenate([x, x], axis=0).astype(cfg.dit.dtype)
                 xin = jnp.concatenate([x2, cond2], axis=1)
                 ts = jnp.broadcast_to(t, (x2.shape[0],))
-                v = dit_lib.dit_forward(self.dit_params, cfg.dit, xin, ts, text2, img2, mesh=self.mesh)
+                v = dit_lib.dit_forward(dit_params, cfg.dit, xin, ts, text2,
+                                        img2, mesh=self.mesh)
                 v_cond, v_uncond = jnp.split(v, 2, axis=0)
                 return v_uncond + guidance * (v_cond - v_uncond)
             return fn
@@ -190,13 +192,66 @@ class ChronoEditPipeline:
             xin = jnp.concatenate([x.astype(cfg.dit.dtype), condition], axis=1)
             ts = jnp.broadcast_to(t, (x.shape[0],))
             v_cond = dit_lib.dit_forward(
-                self.dit_params, cfg.dit, xin, ts, text_emb, image_emb,
+                dit_params, cfg.dit, xin, ts, text_emb, image_emb,
                 mesh=self.mesh)
             v_uncond = dit_lib.dit_forward(
-                self.dit_params, cfg.dit, xin, ts, neg_text_emb, image_emb,
+                dit_params, cfg.dit, xin, ts, neg_text_emb, image_emb,
                 layer_mask=slg_mask, mesh=self.mesh)
             return v_uncond + guidance * (v_cond - v_uncond)
         return fn
+
+    def _make_run(self, *, num_frames, num_steps, guidance, shift,
+                  reasoning, k_reason, slg_layers, output_type):
+        """Build the pure end-to-end generate function for one static
+        configuration (jitted and cached by __call__)."""
+        cfg = self.config
+        tl = cfg.vae.latent_frames(num_frames)
+        schedule = make_flow_schedule(num_steps, shift=shift)
+        coeffs = make_unipc_coeffs(schedule)
+
+        def run(dit_params, vae_params, image, prompt_emb, neg_prompt_emb,
+                image_emb, latents):
+            condition = prepare_condition(vae_params, cfg, image, num_frames,
+                                          mesh=self.mesh)
+            condition = self._shard(condition)
+            latents = self._shard(latents)
+            model_fn = self._model_fn(dit_params, condition, prompt_emb,
+                                      neg_prompt_emb, image_emb, guidance,
+                                      slg_layers)
+
+            state = UniPCState.init(latents)
+            if reasoning and 0 < k_reason < num_steps:
+                # mid-loop drop: keep [first, last] after k steps
+                # (pipeline_chronoedit.py:700-709 truncates latents,
+                # condition, solver history and last_sample alike)
+                state = run_unipc(model_fn, coeffs, state, 0, k_reason)
+                keep = jnp.array([0, tl - 1])
+                state = state.truncate(lambda t: t[:, :, keep])
+                model_fn2 = self._model_fn(
+                    dit_params, condition[:, :, keep], prompt_emb,
+                    neg_prompt_emb, image_emb, guidance, slg_layers)
+                state = run_unipc(model_fn2, coeffs, state, k_reason, num_steps)
+            else:
+                # full run; in reasoning mode (k >= num_steps, the reference
+                # CLI default of 50/50) the trajectory survives to decoding
+                state = run_unipc(model_fn, coeffs, state, 0, num_steps)
+
+            final = state.x
+            if output_type == "latent":
+                return final
+
+            if reasoning and k_reason > 0:
+                # dual decode (pipeline_chronoedit.py:776-781)
+                idx = jnp.array([0, final.shape[2] - 1])
+                video_edit = vae_lib.vae_decode(
+                    vae_params, cfg.vae, final[:, :, idx], mesh=self.mesh)
+                video_reason = vae_lib.vae_decode(
+                    vae_params, cfg.vae, final[:, :, :-1], mesh=self.mesh)
+                return jnp.concatenate([video_reason, video_edit[:, :, 1:]],
+                                       axis=2)
+            return vae_lib.vae_decode(vae_params, cfg.vae, final, mesh=self.mesh)
+
+        return run
 
     # -------------------------------------------------------------- call
 
@@ -233,59 +288,35 @@ class ChronoEditPipeline:
         tl = cfg.vae.latent_frames(num_frames)
         hl, wl = h // cfg.vae.spatial_factor, w // cfg.vae.spatial_factor
 
-        condition = prepare_condition(self.vae_params, cfg, image, num_frames,
-                                      mesh=self.mesh)
         if latents is None:
             key = key if key is not None else jax.random.PRNGKey(0)
             latents = jax.random.normal(
                 key, (b, cfg.latent_channels, tl, hl, wl), jnp.float32)
 
-        condition = self._shard(condition)
-        latents = self._shard(latents)
-        schedule = make_flow_schedule(num_steps, shift=shift)
-        coeffs = make_unipc_coeffs(schedule)
-        model_fn = self._model_fn(condition, prompt_emb, neg_prompt_emb,
-                                  image_emb, guidance, slg_layers)
+        # one compiled program per static configuration (production path:
+        # repeat edits with the same geometry reuse the executable)
+        static_key = (
+            num_frames, num_steps, float(guidance), float(shift),
+            enable_temporal_reasoning, num_temporal_reasoning_steps,
+            tuple(slg_layers), output_type, image.shape,
+            prompt_emb.shape,
+            None if neg_prompt_emb is None else neg_prompt_emb.shape,
+            None if image_emb is None else image_emb.shape,
+        )
+        if static_key not in self._jit_cache:
+            run = self._make_run(
+                num_frames=num_frames, num_steps=num_steps, guidance=guidance,
+                shift=shift, reasoning=enable_temporal_reasoning,
+                k_reason=num_temporal_reasoning_steps, slg_layers=tuple(slg_layers),
+                output_type=output_type)
+            self._jit_cache[static_key] = jax.jit(run)
+        out = self._jit_cache[static_key](
+            self.dit_params, self.vae_params, image, prompt_emb,
+            neg_prompt_emb, image_emb, latents)
 
-        state = UniPCState.init(latents)
-        if (enable_temporal_reasoning
-                and 0 < num_temporal_reasoning_steps < num_steps):
-            # mid-loop drop: keep [first, last] after k steps
-            # (pipeline_chronoedit.py:700-709 truncates latents, condition,
-            # solver history and last_sample alike)
-            k = num_temporal_reasoning_steps
-            state = run_unipc(model_fn, coeffs, state, 0, k)
-            keep = jnp.array([0, tl - 1])
-            state = state.truncate(lambda t: t[:, :, keep])
-            condition2 = condition[:, :, keep]
-            model_fn2 = self._model_fn(condition2, prompt_emb, neg_prompt_emb,
-                                       image_emb, guidance, slg_layers)
-            state = run_unipc(model_fn2, coeffs, state, k, num_steps)
-        else:
-            # full run; in reasoning mode (k >= num_steps, the reference CLI
-            # default of 50/50) the whole trajectory survives to decoding
-            state = run_unipc(model_fn, coeffs, state, 0, num_steps)
-
-        final = state.x
-        if output_type == "latent":
-            return final
-
-        if enable_temporal_reasoning and num_temporal_reasoning_steps > 0:
-            # dual decode (pipeline_chronoedit.py:776-781): the edit pair
-            # decodes as endpoints; the reasoning trajectory (all but the
-            # last latent frame) decodes as the video; outputs concatenate
-            idx = jnp.array([0, final.shape[2] - 1])
-            video_edit = vae_lib.vae_decode(
-                self.vae_params, cfg.vae, final[:, :, idx], mesh=self.mesh)
-            video_reason = vae_lib.vae_decode(
-                self.vae_params, cfg.vae, final[:, :, :-1], mesh=self.mesh)
-            video = jnp.concatenate([video_reason, video_edit[:, :, 1:]], axis=2)
-        else:
-            video = vae_lib.vae_decode(self.vae_params, cfg.vae, final,
-                                       mesh=self.mesh)
-        if self.guardrails is not None:
-            video = self.guardrails.check_video(video)
-        return video
+        if output_type != "latent" and self.guardrails is not None:
+            out = self.guardrails.check_video(out)
+        return out
 
     def edit_image(self, image: jnp.ndarray, prompt_emb: jnp.ndarray, **kw) -> jnp.ndarray:
         """Convenience: returns just the edited frame (B, 3, H, W) — the last

@@ -27,6 +27,8 @@ class TrainerConfig:
     max_iter: int = 1000
     grad_accum: int = 1
     save_every: int = 500
+    validate_every: int = 0  # 0 = off
+    validate_batches: int = 4
     profile_start: int = -1  # iteration to start a jax.profiler trace, -1=off
     profile_steps: int = 5
     profile_dir: str = "profiles"
@@ -47,6 +49,7 @@ class Trainer:
         self.callbacks = CallbackBus(callbacks)
         self.checkpoints = CheckpointManager(checkpoint_cfg) if checkpoint_cfg else None
         self._step_fn = None
+        self._val_fn = None
 
     # ------------------------------------------------------------- state
 
@@ -60,11 +63,30 @@ class Trainer:
 
     # ------------------------------------------------------------- loop
 
+    def validate(self, state: TrainState, val_data: Iterator[dict[str, Any]],
+                 key: jax.Array) -> dict[str, float]:
+        """Average the (EMA-free) velocity loss over validation batches
+        (reference validation-every-N, trainer.py:149-263)."""
+        from chronoedit_tpu.train.train_step import velocity_loss
+
+        if self._val_fn is None:
+            self._val_fn = jax.jit(
+                lambda p, b, k: velocity_loss(
+                    p, self.dit_cfg, self.train_cfg.rectified_flow,
+                    b["latents"], b["condition"], b["text_emb"],
+                    b.get("image_emb"), k)[0])
+        losses = []
+        for _ in range(self.cfg.validate_batches):
+            key, sub = jax.random.split(key)
+            losses.append(float(self._val_fn(state.params, next(val_data), sub)))
+        return {"val_loss": sum(losses) / len(losses)}
+
     def train(
         self,
         state: TrainState,
         data: Iterator[dict[str, Any]],
         key: jax.Array | None = None,
+        val_data: Iterator[dict[str, Any]] | None = None,
     ) -> TrainState:
         key = key if key is not None else jax.random.PRNGKey(0)
         if self._step_fn is None:
@@ -91,6 +113,11 @@ class Trainer:
 
             if self.cfg.profile_start >= 0 and it == self.cfg.profile_start + self.cfg.profile_steps:
                 jax.profiler.stop_trace()
+
+            if (val_data is not None and self.cfg.validate_every > 0
+                    and (it + 1) % self.cfg.validate_every == 0):
+                key, sub = jax.random.split(key)
+                metrics = {**metrics, **self.validate(state, val_data, sub)}
 
             self._last_state = state  # for sampling callbacks
             self.callbacks.on_step_end(self, it, metrics)

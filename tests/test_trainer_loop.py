@@ -1,0 +1,77 @@
+"""Trainer loop: callbacks fire, checkpoint resume, validation."""
+
+import itertools
+
+import jax
+import numpy as np
+
+from chronoedit_tpu.configs import chronoedit_tiny
+from chronoedit_tpu.models import dit as dit_lib
+from chronoedit_tpu.train import TrainConfig
+from chronoedit_tpu.train.callbacks import Callback
+from chronoedit_tpu.train.checkpoint import CheckpointConfig
+from chronoedit_tpu.train.trainer import Trainer, TrainerConfig
+
+
+class Recorder(Callback):
+    def __init__(self):
+        self.steps = []
+        self.val_losses = []
+        self.saves = []
+
+    def on_step_end(self, trainer, step, metrics):
+        self.steps.append(step)
+        if "val_loss" in metrics:
+            self.val_losses.append(metrics["val_loss"])
+
+    def on_checkpoint_save(self, trainer, step):
+        self.saves.append(step)
+
+
+def _data(dit_cfg, seed=0):
+    rng = np.random.default_rng(seed)
+
+    def gen():
+        while True:
+            yield {
+                "latents": rng.standard_normal((1, 4, 2, 4, 4)).astype(np.float32),
+                "condition": rng.standard_normal((1, 6, 2, 4, 4)).astype(np.float32),
+                "text_emb": rng.standard_normal(
+                    (1, 6, dit_cfg.text_dim)).astype(np.float32),
+                "image_emb": rng.standard_normal(
+                    (1, dit_cfg.image_tokens, dit_cfg.image_dim)).astype(np.float32),
+            }
+
+    return gen()
+
+
+def test_trainer_with_validation_and_resume(tmp_path):
+    dit_cfg = chronoedit_tiny().dit
+    params = dit_lib.init_dit_params(jax.random.PRNGKey(0), dit_cfg)
+    tcfg = TrainConfig(lr=1e-4, warmup_steps=1)
+    rec = Recorder()
+    trainer = Trainer(
+        dit_cfg, tcfg,
+        TrainerConfig(max_iter=4, save_every=2, validate_every=2,
+                      validate_batches=2),
+        CheckpointConfig(directory=str(tmp_path / "ck"), async_save=False),
+        callbacks=[rec],
+    )
+    state = trainer.init_state(params)
+    state = trainer.train(state, _data(dit_cfg), val_data=_data(dit_cfg, 1))
+    assert int(state.step) == 4
+    assert rec.steps == [0, 1, 2, 3]
+    assert len(rec.val_losses) == 2 and all(np.isfinite(rec.val_losses))
+    assert rec.saves == [2, 4]
+
+    # resume: a fresh trainer (fresh params — the previous state was donated)
+    # picks up at step 4 and continues
+    params2 = dit_lib.init_dit_params(jax.random.PRNGKey(0), dit_cfg)
+    trainer2 = Trainer(
+        dit_cfg, tcfg, TrainerConfig(max_iter=6, save_every=10),
+        CheckpointConfig(directory=str(tmp_path / "ck"), async_save=False),
+    )
+    state2 = trainer2.init_state(params2)
+    assert int(state2.step) == 4
+    state2 = trainer2.train(state2, _data(dit_cfg))
+    assert int(state2.step) == 6

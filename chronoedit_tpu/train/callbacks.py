@@ -109,6 +109,83 @@ class HeartbeatCallback(Callback):
                 f.write(f"{now} step={step}\n")
 
 
+class DeviceMonitorCallback(Callback):
+    """Periodic accelerator memory stats (the DeviceMonitor GPU-stats
+    callback): logs per-device bytes-in-use from jax memory_stats."""
+
+    def __init__(self, every_n: int = 100, log_fn=print):
+        self.every_n = every_n
+        self.log_fn = log_fn
+
+    def on_step_end(self, trainer, step, metrics):
+        if step % self.every_n:
+            return
+        import jax
+
+        for d in jax.local_devices():
+            stats = d.memory_stats() or {}
+            used = stats.get("bytes_in_use", 0) / 2**30
+            limit = stats.get("bytes_limit", 0) / 2**30
+            self.log_fn(f"[device {d.id}] {used:.2f}/{limit:.2f} GiB in use")
+
+
+class ManualGarbageCollection(Callback):
+    """Disable automatic gc and collect on a fixed cadence — removes GC
+    pauses from the step-time distribution (ManualGarbageCollection
+    callback)."""
+
+    def __init__(self, every_n: int = 100):
+        self.every_n = every_n
+
+    def on_train_start(self, trainer):
+        import gc
+
+        gc.disable()
+
+    def on_step_end(self, trainer, step, metrics):
+        if step % self.every_n == 0:
+            import gc
+
+            gc.collect()
+
+    def on_train_end(self, trainer):
+        import gc
+
+        gc.enable()
+
+
+class WandbCallback(Callback):
+    """Optional Weights & Biases metrics sink (WandbCallback,
+    wandb_log.py:34-120). No-ops cleanly when wandb is unavailable."""
+
+    def __init__(self, project: str = "chronoedit-tpu", run_name: str | None = None,
+                 log_every: int = 10, config: dict | None = None):
+        self.project = project
+        self.run_name = run_name
+        self.log_every = log_every
+        self.config = config
+        self._run = None
+
+    def on_train_start(self, trainer):
+        try:
+            import wandb
+
+            self._run = wandb.init(project=self.project, name=self.run_name,
+                                   config=self.config)
+        except Exception:
+            self._run = None
+
+    def on_step_end(self, trainer, step, metrics):
+        if self._run is None or step % self.log_every:
+            return
+        self._run.log({k: float(v) for k, v in metrics.items()
+                       if hasattr(v, "__float__")}, step=step)
+
+    def on_train_end(self, trainer):
+        if self._run is not None:
+            self._run.finish()
+
+
 class EveryNDrawSample(Callback):
     """Periodically draw validation samples during training (the
     EveryNDrawSample callback, every_n_draw_sample.py:65-130: sampling under

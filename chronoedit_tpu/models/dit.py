@@ -39,6 +39,8 @@ import jax.numpy as jnp
 from chronoedit_tpu.core.rope import Rope3DSpec, rope_3d_tables, temporal_skip_rope_tables
 from chronoedit_tpu.ops import layers as L
 from chronoedit_tpu.ops.attention import dot_product_attention
+from chronoedit_tpu.ops.fused_norms import (
+    gated_residual, layer_norm_modulate, rms_norm_fused)
 
 Params = dict[str, Any]
 
@@ -192,8 +194,8 @@ def _self_attention(p: Params, x: jnp.ndarray, rope_cos, rope_sin,
     """
     from chronoedit_tpu.core.rope import apply_rope
 
-    q = L.rms_norm(p["q_norm"], L.linear(p["q"], x), cfg.eps)
-    k = L.rms_norm(p["k_norm"], L.linear(p["k"], x), cfg.eps)
+    q = rms_norm_fused(p["q_norm"], L.linear(p["q"], x), cfg.eps)
+    k = rms_norm_fused(p["k_norm"], L.linear(p["k"], x), cfg.eps)
     v = L.linear(p["v"], x)
     q, k, v = (_split_heads(t, cfg.num_heads) for t in (q, k, v))
     cos, sin = rope_cos[:, None, :], rope_sin[:, None, :]  # broadcast over heads
@@ -217,7 +219,7 @@ def _cross_attention(p: Params, x: jnp.ndarray, text_ctx: jnp.ndarray,
                      img_ctx: jnp.ndarray | None, cfg: DiTConfig):
     """I2V cross-attention: text branch + (optional) image branch, summed
     (transformer_chronoedit.py:81-104)."""
-    q = L.rms_norm(p["q_norm"], L.linear(p["q"], x), cfg.eps)
+    q = rms_norm_fused(p["q_norm"], L.linear(p["q"], x), cfg.eps)
     q = _split_heads(q, cfg.num_heads)
 
     k = L.rms_norm(p["k_norm"], L.linear(p["k"], text_ctx), cfg.eps)
@@ -268,21 +270,19 @@ def dit_block(p: Params, x: jnp.ndarray, text_ctx, img_ctx, e: jnp.ndarray,
         mods[:, :, i] for i in range(6)
     )
 
-    # self-attention
-    norm_x = L.layer_norm({}, x, cfg.eps)  # fp32, no affine
-    norm_x = _modulate(norm_x, scale_msa, shift_msa, hw).astype(x.dtype)
+    # self-attention (fused fp32 LN + AdaLN modulate, fused gated residual)
+    norm_x = layer_norm_modulate(x, scale_msa, shift_msa, hw, cfg.eps)
     attn = _self_attention(p["self_attn"], norm_x, rope_cos, rope_sin, cfg, mesh)
-    x = _gate(x, attn, gate_msa, hw, x.dtype)
+    x = gated_residual(x, attn, gate_msa, hw)
 
     # cross-attention (plain residual add, reference line 286)
     norm_x = L.layer_norm(p.get("norm2", {}), x, cfg.eps, out_dtype=x.dtype)
     x = x + _cross_attention(p["cross_attn"], norm_x, text_ctx, img_ctx, cfg)
 
     # ffn
-    norm_x = L.layer_norm({}, x, cfg.eps)
-    norm_x = _modulate(norm_x, c_scale, c_shift, hw).astype(x.dtype)
+    norm_x = layer_norm_modulate(x, c_scale, c_shift, hw, cfg.eps)
     ff = L.linear(p["ffn"]["fc2"], L.gelu_tanh(L.linear(p["ffn"]["fc1"], norm_x)))
-    x = _gate(x, ff, c_gate, hw, x.dtype)
+    x = gated_residual(x, ff, c_gate, hw)
     return x
 
 
@@ -417,7 +417,6 @@ def dit_forward(
     table = head["scale_shift_table"].astype(jnp.float32)  # (2, dim)
     mods = table[None, None] + temb[:, :, None, :]  # (B, T, 2, dim)
     shift, scale = mods[:, :, 0], mods[:, :, 1]
-    normed = L.layer_norm({}, tokens, cfg.eps)
-    normed = _modulate(normed, scale, shift, hw).astype(cfg.dtype)
+    normed = layer_norm_modulate(tokens, scale, shift, hw, cfg.eps)
     out = L.linear(head["proj"], normed)
     return _unpatchify(out, grid, cfg)

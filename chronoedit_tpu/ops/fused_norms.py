@@ -1,0 +1,150 @@
+"""Fused Pallas kernels for the DiT's norm/modulation elementwise chain.
+
+Profiling the 14B block on v5e shows ~10 ms/layer spent in XLA's
+fp32-upcast norm/modulate/gate fusions (multiply_reduce / convert_reduce
+fusions) — each is HBM-bound work that should cost ~0.2 ms. These kernels
+do each chain in one VMEM pass:
+
+- :func:`layer_norm_modulate` — fp32 LayerNorm (no affine) + AdaLN
+  ``(1+scale)*x_hat + shift`` with **per-frame** scale/shift, bf16 in/out.
+- :func:`gated_residual` — ``x + delta * gate`` accumulated in fp32 with a
+  per-frame gate.
+- :func:`rms_norm_fused` — the qk "rms_norm_across_heads" (fp32 stats,
+  learned weight).
+
+All fall back to the unfused jnp implementations for shapes the kernels
+don't support (CPU tests, indivisible grids).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from chronoedit_tpu.ops import layers as L
+
+_ROW_BLOCK = 256
+
+
+def _supported(x: jnp.ndarray, hw: int, rows: int) -> bool:
+    if jax.devices()[0].platform != "tpu":
+        return False
+    b, s, d = x.shape
+    return d % 128 == 0 and hw % rows == 0 and s % hw == 0
+
+
+# ----------------------------------------------------------- ln + modulate
+
+def _lnmod_kernel(x_ref, scale_ref, shift_ref, o_ref, *, eps: float):
+    x = x_ref[0].astype(jnp.float32)  # (R, D)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    xhat = (x - mean) * jax.lax.rsqrt(var + eps)
+    sc = scale_ref[0, 0].astype(jnp.float32)  # (D,)
+    sh = shift_ref[0, 0].astype(jnp.float32)
+    o_ref[0] = (xhat * (1.0 + sc) + sh).astype(o_ref.dtype)
+
+
+def layer_norm_modulate(x: jnp.ndarray, scale: jnp.ndarray, shift: jnp.ndarray,
+                        hw: int, eps: float = 1e-6) -> jnp.ndarray:
+    """x (B, S, D) bf16; scale/shift (B, T, D) fp32 with S = T*hw.
+    Returns (B, S, D) in x.dtype."""
+    b, s, d = x.shape
+    t = s // hw
+    rows = min(_ROW_BLOCK, hw)
+    if not _supported(x, hw, rows):
+        xf = L.layer_norm({}, x, eps)  # fp32
+        xt = xf.reshape(b, t, hw, d)
+        out = xt * (1.0 + scale[:, :, None].astype(jnp.float32)) \
+            + shift[:, :, None].astype(jnp.float32)
+        return out.reshape(b, s, d).astype(x.dtype)
+
+    grid = (b, t, hw // rows)
+    return pl.pallas_call(
+        functools.partial(_lnmod_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, rows, d),
+                         lambda bi, ti, j: (bi, ti * (hw // rows) + j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda bi, ti, j: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda bi, ti, j: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, d),
+                               lambda bi, ti, j: (bi, ti * (hw // rows) + j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
+    )(x, scale, shift)
+
+
+# ----------------------------------------------------------- gated residual
+
+def _gate_kernel(x_ref, delta_ref, gate_ref, o_ref):
+    x = x_ref[0].astype(jnp.float32)
+    dlt = delta_ref[0].astype(jnp.float32)
+    g = gate_ref[0, 0].astype(jnp.float32)
+    o_ref[0] = (x + dlt * g).astype(o_ref.dtype)
+
+
+def gated_residual(x: jnp.ndarray, delta: jnp.ndarray, gate: jnp.ndarray,
+                   hw: int) -> jnp.ndarray:
+    """x + delta*gate in fp32; gate (B, T, D) per-frame; output x.dtype."""
+    b, s, d = x.shape
+    t = s // hw
+    rows = min(_ROW_BLOCK, hw)
+    if not _supported(x, hw, rows):
+        xt = x.astype(jnp.float32).reshape(b, t, hw, d)
+        dt = delta.astype(jnp.float32).reshape(b, t, hw, d)
+        out = xt + dt * gate[:, :, None].astype(jnp.float32)
+        return out.reshape(b, s, d).astype(x.dtype)
+
+    grid = (b, t, hw // rows)
+    row_spec = pl.BlockSpec((1, rows, d),
+                            lambda bi, ti, j: (bi, ti * (hw // rows) + j, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _gate_kernel,
+        grid=grid,
+        in_specs=[row_spec, row_spec,
+                  pl.BlockSpec((1, 1, d), lambda bi, ti, j: (bi, ti, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
+    )(x, delta, gate)
+
+
+# ----------------------------------------------------------- rms norm
+
+def _rms_kernel(x_ref, w_ref, o_ref, *, eps: float):
+    x = x_ref[0].astype(jnp.float32)
+    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    o_ref[0] = ((x * jax.lax.rsqrt(var + eps)).astype(o_ref.dtype)
+                * w_ref[0].astype(o_ref.dtype))
+
+
+def rms_norm_fused(params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Drop-in for ops.layers.rms_norm on (B, S, D)."""
+    b, s, d = x.shape
+    rows = min(_ROW_BLOCK, s)
+    if jax.devices()[0].platform != "tpu" or d % 128 != 0 or s % rows != 0:
+        return L.rms_norm(params, x, eps)
+    w = params["scale"].reshape(1, d)
+    return pl.pallas_call(
+        functools.partial(_rms_kernel, eps=eps),
+        grid=(b, s // rows),
+        in_specs=[
+            pl.BlockSpec((1, rows, d), lambda bi, j: (bi, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda bi, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, d), lambda bi, j: (bi, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
+    )(x, w)

@@ -86,37 +86,9 @@ def build_pipeline(args):
 
 
 def load_pretrained_pipeline(cfg, ckpt_dir, mesh=None):
-    import glob
+    from chronoedit_tpu.pipeline import load_pipeline
 
-    import jax
-
-    from chronoedit_tpu.models import weights as w
-    from chronoedit_tpu.models.clip import CLIPImageEncoder, convert_clip_vision_checkpoint
-    from chronoedit_tpu.models.umt5 import UMT5TextEncoder, convert_umt5_checkpoint
-    from chronoedit_tpu.pipeline import ChronoEditPipeline
-
-    shards = sorted(glob.glob(os.path.join(
-        ckpt_dir, "transformer", "*.safetensors"))) or sorted(
-        glob.glob(os.path.join(ckpt_dir, "*.safetensors")))
-    dit_params = w.convert_diffusers_dit(w.load_safetensors(shards),
-                                         num_layers=cfg.dit.num_layers)
-    vae_params = w.convert_wan_vae(
-        w.load_torch(os.path.join(ckpt_dir, "Wan2.1_VAE.pth")))
-
-    text_encoder = image_encoder = None
-    t5_path = os.path.join(ckpt_dir, "models_t5_umt5-xxl-enc-bf16.pth")
-    if os.path.exists(t5_path):
-        text_encoder = UMT5TextEncoder(convert_umt5_checkpoint(w.load_torch(t5_path)))
-    clip_glob = glob.glob(os.path.join(ckpt_dir, "models_clip_*.pth"))
-    if clip_glob:
-        image_encoder = CLIPImageEncoder(
-            convert_clip_vision_checkpoint(w.load_torch(clip_glob[0])))
-
-    to_dev = lambda t: jax.tree_util.tree_map(
-        lambda a: jax.numpy.asarray(a, cfg.dit.param_dtype), t)
-    return ChronoEditPipeline(cfg, to_dev(dit_params), to_dev(vae_params),
-                              text_encoder=text_encoder,
-                              image_encoder=image_encoder, mesh=mesh)
+    return load_pipeline(cfg, ckpt_dir, mesh=mesh)
 
 
 def attach_lora(pipe, path: str, scale: float):

@@ -321,8 +321,14 @@ def _spatial_shard(x: jnp.ndarray, mesh) -> jnp.ndarray:
         return x
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    axes = [a for a in ("context", "tensor", "fsdp")
-            if mesh.shape.get(a, 1) > 1 and x.shape[2] % mesh.shape[a] == 0]
+    axes = []
+    product = 1
+    for a in ("context", "tensor", "fsdp"):
+        size = mesh.shape.get(a, 1)
+        # H must divide by the *product* of all chosen axes
+        if size > 1 and x.shape[2] % (product * size) == 0:
+            axes.append(a)
+            product *= size
     if not axes:
         return x
     return jax.lax.with_sharding_constraint(

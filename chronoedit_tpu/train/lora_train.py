@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from chronoedit_tpu.core import rectified_flow as rf
 from chronoedit_tpu.models import dit as dit_lib
 from chronoedit_tpu.models import lora as lora_lib
 from chronoedit_tpu.train.ema import ema_update

@@ -86,7 +86,12 @@ def make_flow_schedule(
         runtime shift is still applied (matches ``set_timesteps(sigmas=...)``).
     """
     base = train_sigmas(num_train_timesteps, base_shift)
-    sigma_max, sigma_min = float(base[0]), float(base[-1])
+    # the reference stores the train grid as torch float32 and takes
+    # sigma_max/min via .item() (fm_solvers_unipc.py:124,145-146) — the
+    # float32 rounding (0.999 -> 0.9990000128...) shifts int-cast timesteps
+    # by one; replicate it exactly
+    sigma_max = float(np.float32(base[0]))
+    sigma_min = float(np.float32(base[-1]))
     if sigmas is None:
         sigmas = np.linspace(sigma_max, sigma_min, num_steps + 1)[:-1]
     else:

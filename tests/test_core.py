@@ -27,8 +27,9 @@ def test_flow_schedule_endpoints_and_shift():
     assert sched.sigmas[-1] == 0.0
     # strictly decreasing
     assert np.all(np.diff(sched.sigmas) < 0)
-    # first sigma: shift applied to 0.999
-    s0 = 0.999
+    # first sigma: shift applied to 0.999 (via the reference's float32
+    # round-trip of sigma_max — see core/schedule.py)
+    s0 = float(np.float32(0.999))
     expected = 2.0 * s0 / (1 + (2.0 - 1) * s0)
     assert math.isclose(sched.sigmas[0], expected, rel_tol=1e-12)
     # timesteps = sigma * 1000

@@ -119,11 +119,50 @@ def bench_vae_s() -> dict:
     return {"encode_s": t_enc, "decode_s": t_dec}
 
 
+def bench_e2e_pipeline_s(layers: int = 8) -> dict:
+    """Measured end-to-end 8-step distilled edit at 720p on ONE chip with a
+    reduced-depth (but full-width) model that fits one chip (16 layers OOMs at 18 GB with pipeline activations) — captures the
+    scan/solver/pipeline overheads the per-block method misses. The 40-layer
+    estimate scales only the block-loop portion."""
+    import dataclasses as dc
+
+    from chronoedit_tpu.configs import chronoedit_14b_distilled
+    from chronoedit_tpu.models import dit as dit_lib
+    from chronoedit_tpu.models import vae as vae_lib
+    from chronoedit_tpu.pipeline import ChronoEditPipeline
+
+    cfg = chronoedit_14b_distilled()
+    cfg = dc.replace(cfg, dit=dc.replace(cfg.dit, num_layers=layers,
+                                         param_dtype=jnp.bfloat16))
+    dit_params = dit_lib.init_dit_params(jax.random.PRNGKey(0), cfg.dit)
+    vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), cfg.vae)
+    pipe = ChronoEditPipeline(cfg, dit_params, vae_params)
+
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    image = jax.random.uniform(ks[0], (1, 3, 704, 1280), jnp.float32,
+                               minval=-1, maxval=1)
+    prompt = jax.random.normal(ks[1], (1, 512, cfg.dit.text_dim), jnp.float32)
+    clip = jax.random.normal(ks[2], (1, cfg.dit.image_tokens, cfg.dit.image_dim),
+                             jnp.float32)
+
+    def run():
+        video = pipe(image, prompt, image_emb=clip, key=jax.random.PRNGKey(3))
+        return float(jnp.sum(video.astype(jnp.float32)))
+
+    run()  # compile + warm
+    t0 = time.perf_counter()
+    run()
+    measured = time.perf_counter() - t0
+    del dit_params, vae_params, pipe
+    return {"layers": layers, "measured_s": measured}
+
+
 def main():
     dev = jax.devices()[0]
     dit1 = bench_dit_block_ms(batch=1)  # distilled: guidance 1.0, no CFG
     dit2 = bench_dit_block_ms(batch=2)  # base model: CFG-batched
     vae = bench_vae_s()
+    e2e = bench_e2e_pipeline_s()
 
     comm_penalty = 1.15
     # VAE is spatially sharded over the mesh (H-axis GSPMD halo exchange;
@@ -138,6 +177,11 @@ def main():
 
     total = estimate(dit1, DENOISE_STEPS)
     total_cfg50 = estimate(dit2, 50)
+    # measured e2e (1-chip, reduced depth) scaled to 40 layers: non-DiT time
+    # is measured directly, block-loop scales by depth
+    block_part = DENOISE_STEPS * e2e["layers"] * dit1["per_block_s"]
+    e2e_40_1chip = (e2e["measured_s"] - block_part
+                    + DENOISE_STEPS * 40 * dit1["per_block_s"])
 
     print(json.dumps({
         "metric": "estimated sec/edit, 720p, 8-step distilled (guidance 1.0), v5e-8 (extrapolated from 1-chip)",
@@ -149,6 +193,8 @@ def main():
             "dit_block_s_1chip_b1": round(dit1["per_block_s"], 5),
             "dit_block_s_1chip_b2_cfg": round(dit2["per_block_s"], 5),
             "est_sec_per_edit_50step_cfg": round(total_cfg50, 3),
+            f"e2e_measured_s_1chip_{e2e['layers']}layer": round(e2e["measured_s"], 3),
+            "e2e_est_s_1chip_40layer": round(e2e_40_1chip, 3),
             "vae_encode_s": round(vae["encode_s"], 4),
             "vae_decode_s": round(vae["decode_s"], 4),
             "assumptions": (f"{N_CHIPS_TARGET}-chip scaling: DiT x{comm_penalty} "

@@ -213,6 +213,85 @@ def export_diffusers_dit(params: Params) -> StateDict:
     return sd
 
 
+def convert_native_dit(sd: StateDict, num_layers: int = 40,
+                       strict: bool = True) -> Params:
+    """Native ("imaginaire") WanModel/EditWanModel state dict -> DiT pytree.
+
+    The dialect produced by ``convert_distcp_to_pt.py`` (wan2pt1.py module
+    names: ``blocks.N.self_attn.q``, ``time_embedding.0``, ``ffn.0`` ...).
+    Note the native norm-name swap vs diffusers: native ``norm3`` is the
+    cross-attn norm and ``norm2`` the FFN norm (wan2pt1.py:467-474); both
+    map onto our single affine ``norm2`` + no-affine fused norms.
+    """
+    sd = dict(sd)
+    for prefix in ("model.", "net."):
+        if any(k.startswith(prefix) for k in sd):
+            sd = {k[len(prefix):] if k.startswith(prefix) else k: v
+                  for k, v in sd.items()}
+    # drop WeightTrainingStat counters and TE extra-state blobs (the DCP
+    # LoadPlanner skips the latter too, dcp.py:103-196)
+    sd = {k: v for k, v in sd.items()
+          if not k.startswith("accum_") and "._extra_state" not in k}
+
+    params: Params = {
+        "patch_embed": _lin(sd, "patch_embedding"),
+        "time_embed": {"fc1": _lin(sd, "time_embedding.0"),
+                       "fc2": _lin(sd, "time_embedding.2")},
+        "time_proj": _lin(sd, "time_projection.1"),
+        "text_embed": {"fc1": _lin(sd, "text_embedding.0"),
+                       "fc2": _lin(sd, "text_embedding.2")},
+        "head": {
+            "proj": _lin(sd, "head.head"),
+            "scale_shift_table": sd.pop("head.modulation").reshape(2, -1),
+        },
+    }
+    if "img_emb.proj.0.weight" in sd:
+        params["img_embed"] = {
+            "norm1": _ln(sd, "img_emb.proj.0"),
+            "fc1": _lin(sd, "img_emb.proj.1"),
+            "fc2": _lin(sd, "img_emb.proj.3"),
+            "norm2": _ln(sd, "img_emb.proj.4"),
+        }
+
+    blocks = []
+    for i in range(num_layers):
+        b = f"blocks.{i}"
+        blk: Params = {
+            "scale_shift_table": sd.pop(f"{b}.modulation").reshape(6, -1),
+            "self_attn": {
+                "q": _lin(sd, f"{b}.self_attn.q"),
+                "k": _lin(sd, f"{b}.self_attn.k"),
+                "v": _lin(sd, f"{b}.self_attn.v"),
+                "o": _lin(sd, f"{b}.self_attn.o"),
+                "q_norm": _rms(sd, f"{b}.self_attn.norm_q"),
+                "k_norm": _rms(sd, f"{b}.self_attn.norm_k"),
+            },
+            "cross_attn": {
+                "q": _lin(sd, f"{b}.cross_attn.q"),
+                "k": _lin(sd, f"{b}.cross_attn.k"),
+                "v": _lin(sd, f"{b}.cross_attn.v"),
+                "o": _lin(sd, f"{b}.cross_attn.o"),
+                "q_norm": _rms(sd, f"{b}.cross_attn.norm_q"),
+                "k_norm": _rms(sd, f"{b}.cross_attn.norm_k"),
+            },
+            "norm2": _ln(sd, f"{b}.norm3"),  # native norm3 == cross-attn norm
+            "ffn": {"fc1": _lin(sd, f"{b}.ffn.0"),
+                    "fc2": _lin(sd, f"{b}.ffn.2")},
+        }
+        if f"{b}.cross_attn.k_img.weight" in sd:
+            blk["cross_attn"]["k_img"] = _lin(sd, f"{b}.cross_attn.k_img")
+            blk["cross_attn"]["v_img"] = _lin(sd, f"{b}.cross_attn.v_img")
+            blk["cross_attn"]["k_img_norm"] = _rms(sd, f"{b}.cross_attn.norm_k_img")
+        blocks.append(blk)
+
+    import jax
+
+    params["blocks"] = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *blocks)
+    if strict and sd:
+        raise ValueError(f"unconsumed native checkpoint keys: {list(sd)[:8]}...")
+    return params
+
+
 # ----------------------------------------------------------------- LoRA
 
 # diffusers module name -> our block-relative kernel path

@@ -1,17 +1,19 @@
-"""Pallas TPU flash-attention kernel.
+"""Pallas TPU flash-attention kernel (forward + backward).
 
 Replaces the reference's TransformerEngine/flash-attn/cuDNN attention stack
-(SURVEY §2.9) with a single online-softmax kernel tiled for the MXU.
+(SURVEY §2.9) with online-softmax kernels tiled for the MXU:
 
-Layout: (B, S, H, D). Grid is (batch*heads, q_blocks); K/V for the current
-batch*head live in VMEM and the KV loop is **statically unrolled** with the
-padding mask applied only to the final partial block — full blocks run
-branch-free. Falls back (raises NotImplementedError) for shapes the kernel
-does not support so the XLA path can take over.
+- forward: (batch*head, q_block) grid, KV resident in VMEM, statically
+  unrolled KV loop with padding masked only in the final partial block;
+  also emits the per-row logsumexp for the backward.
+- backward: the standard two-kernel flash backward — a dq kernel gridded
+  over q blocks and a dk/dv kernel gridded over kv blocks, both recomputing
+  probabilities from (q, k, lse) instead of materializing S x S.
 
-Note the XLA fallback is not viable at production sizes: materializing the
-(B, H, S, S) score tensor for the 720p edit sequence needs ~15.7 GB — this
-kernel is the only path that fits HBM.
+Exposed through ``jax.custom_vjp`` so the DiT trains through it on TPU.
+Falls back (raises NotImplementedError) for unsupported shapes so the XLA
+path can take over — note the XLA path is not viable at production sizes
+(the 720p edit sequence's score tensor alone is ~15.7 GB).
 """
 
 from __future__ import annotations
@@ -23,55 +25,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Tunables: q tile rows / kv tile rows. Swept with tools/tune_attention.py on
-# v5e (720p edit shapes, B2 S7200 H40 D128): bq=256 hits 128 TFLOP/s (~65% of
-# peak); larger q tiles fail to compile (VMEM) or run slower.
+# Tunables swept with tools/tune_attention.py on v5e (720p edit shapes):
+# bq=256 hits 128 TFLOP/s (~65% of peak); larger q tiles fail to compile
+# (VMEM) or run slower.
 _BLOCK_Q = 256
 _BLOCK_KV = 1024
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
-                 block_kv: int):
-    """One (q_block x full-KV) flash-attention pass, KV loop unrolled."""
-    q = q_ref[...].astype(jnp.float32) * scale  # (Bq, D)
-    bq, d = q.shape
-
-    kv_pad_len = k_ref.shape[0]
-    num_blocks = kv_pad_len // block_kv
-    acc = jnp.zeros((bq, d), jnp.float32)
-    m = jnp.full((bq, 1), -jnp.inf, jnp.float32)
-    l = jnp.zeros((bq, 1), jnp.float32)
-
-    for i in range(num_blocks):
-        start = i * block_kv
-        k = k_ref[pl.ds(start, block_kv), :].astype(jnp.float32)
-        v = v_ref[pl.ds(start, block_kv), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (Bq, Bk)
-        if start + block_kv > kv_len:  # only the final partial block masks
-            kv_ids = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(kv_ids < kv_len, s, -jnp.inf)
-
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        if i == 0:
-            m = m_cur
-            p = jnp.exp(s - m)
-            l = jnp.sum(p, axis=1, keepdims=True)
-            acc = jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        else:
-            m_new = jnp.maximum(m, m_cur)
-            alpha = jnp.exp(m - m_new)
-            p = jnp.exp(s - m_new)
-            l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-            acc = acc * alpha + jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            m = m_new
-
-    o_ref[...] = (acc / l).astype(o_ref.dtype)
+def _pick_blocks(sq: int, kv_len: int, block_q: int, block_kv: int):
+    block_kv = min(block_kv, max(128, ((kv_len + 127) // 128) * 128))
+    block_q = min(block_q, max(128, ((sq + 127) // 128) * 128))
+    return block_q, block_kv
 
 
 def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
@@ -84,37 +48,66 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv"))
-def flash_attention(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
-    block_q: int = _BLOCK_Q, block_kv: int = _BLOCK_KV,
-) -> jnp.ndarray:
-    """Flash attention, (B, S, H, D) layout, full (unmasked) attention.
+def _to_bh(x: jnp.ndarray) -> jnp.ndarray:
+    b, s, h, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
 
-    Query padding rows produce garbage that is sliced off; KV padding is
-    masked inside the kernel.
-    """
-    if q.ndim != 4 or q.shape[-1] % 128 != 0:
-        raise NotImplementedError("flash_attention expects (B,S,H,D) with D%128==0")
-    b, sq, h, d = q.shape
-    kv_len = k.shape[1]
-    # small-KV fast path: shrink the kv tile to avoid wasted padding compute
-    block_kv = min(block_kv, max(128, ((kv_len + 127) // 128) * 128))
-    block_q = min(block_q, max(128, ((sq + 127) // 128) * 128))
 
-    # (B, S, H, D) -> (B*H, S, D)
-    def to_bh(x):
-        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+def _from_bh(x: jnp.ndarray, b: int, h: int, sq: int) -> jnp.ndarray:
+    return x[:, :sq, :].reshape(b, h, sq, x.shape[-1]).transpose(0, 2, 1, 3)
 
-    qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
-    qb = _pad_to(qb, 1, block_q)
-    kb = _pad_to(kb, 1, block_kv)
-    vb = _pad_to(vb, 1, block_kv)
-    sq_pad, skv_pad = qb.shape[1], kb.shape[1]
 
-    grid = (b * h, sq_pad // block_q)
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, kv_len=kv_len,
+# ================================================================ forward
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
+                kv_len: int, block_kv: int):
+    q = q_ref[...].astype(jnp.float32) * scale  # (Bq, D)
+    bq, d = q.shape
+    num_blocks = k_ref.shape[0] // block_kv
+
+    acc = jnp.zeros((bq, d), jnp.float32)
+    m = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+
+    for i in range(num_blocks):
+        start = i * block_kv
+        k = k_ref[pl.ds(start, block_kv), :].astype(jnp.float32)
+        v = v_ref[pl.ds(start, block_kv), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if start + block_kv > kv_len:  # only the final partial block masks
+            kv_ids = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(kv_ids < kv_len, s, -jnp.inf)
+
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        if i == 0:
+            m = m_cur
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            acc = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        else:
+            m_new = jnp.maximum(m, m_cur)
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m = m_new
+
+    o_ref[...] = (acc / l).astype(o_ref.dtype)
+    # lse replicated across 8 sublanes (TPU block shapes need sublane%8==0)
+    lse_ref[...] = jnp.broadcast_to((m + jnp.log(l))[:, 0][None, :],
+                                    lse_ref.shape)
+
+
+def _forward(qb, kb, vb, scale, block_q, block_kv, kv_len, out_dtype):
+    bh, sq_pad, d = qb.shape
+    skv_pad = kb.shape[1]
+    grid = (bh, sq_pad // block_q)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len,
                           block_kv=block_kv),
         grid=grid,
         in_specs=[
@@ -125,15 +118,192 @@ def flash_attention(
             pl.BlockSpec((None, skv_pad, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d), q.dtype),
+        out_specs=(
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 8, block_q), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sq_pad, d), out_dtype),
+            jax.ShapeDtypeStruct((bh, 8, sq_pad), jnp.float32),
+        ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * sq_pad * skv_pad * d,
+            flops=4 * bh * sq_pad * skv_pad * d,
             bytes_accessed=(qb.size + kb.size + vb.size) * qb.dtype.itemsize,
-            transcendentals=b * h * sq_pad * skv_pad,
+            transcendentals=bh * sq_pad * skv_pad,
         ),
     )(qb, kb, vb)
+    return out, lse
 
-    out = out[:, :sq, :].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+
+# ================================================================ backward
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, dq_ref, *,
+               scale: float, kv_len: int, block_kv: int):
+    q = q_ref[...].astype(jnp.float32)  # (Bq, D)
+    do = do_ref[...].astype(jnp.float32)
+    lse = lse_ref[0][:, None]  # (Bq, 1)
+    dsum = dsum_ref[0][:, None]
+    bq, d = q.shape
+    num_blocks = k_ref.shape[0] // block_kv
+
+    dq = jnp.zeros((bq, d), jnp.float32)
+    for i in range(num_blocks):
+        start = i * block_kv
+        k = k_ref[pl.ds(start, block_kv), :].astype(jnp.float32)
+        v = v_ref[pl.ds(start, block_kv), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if start + block_kv > kv_len:
+            kv_ids = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(kv_ids < kv_len, s, -jnp.inf)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - dsum) * scale
+        dq = dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
+                dk_ref, dv_ref, *, scale: float, block_q: int):
+    k = k_ref[...].astype(jnp.float32)  # (Bk, D)
+    v = v_ref[...].astype(jnp.float32)
+    bk, d = k.shape
+    num_blocks = q_ref.shape[0] // block_q
+
+    dk = jnp.zeros((bk, d), jnp.float32)
+    dv = jnp.zeros((bk, d), jnp.float32)
+    for i in range(num_blocks):
+        start = i * block_q
+        q = q_ref[pl.ds(start, block_q), :].astype(jnp.float32)
+        do = do_ref[pl.ds(start, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(start, block_q)][None, :]  # (1, Bq)
+        dsum = dsum_ref[0, pl.ds(start, block_q)][None, :]
+        # p^T: (Bk, Bq); padded q rows carry lse=+inf -> p=0
+        st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        pt = jnp.exp(st - lse)
+        dv = dv + jax.lax.dot_general(pt, do, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dpt = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dst = pt * (dpt - dsum) * scale
+        dk = dk + jax.lax.dot_general(dst, q, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+
+
+def _backward(qb, kb, vb, ob, dob, lse, scale, block_q, block_kv, kv_len):
+    bh, sq_pad, d = qb.shape
+    skv_pad = kb.shape[1]
+    dsum = jnp.sum(dob.astype(jnp.float32) * ob.astype(jnp.float32), axis=-1)
+    dsum = jnp.broadcast_to(dsum[:, None, :], (bh, 8, sq_pad))
+
+    full_spec = lambda s: pl.BlockSpec((None, s, d), lambda i, j: (i, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    row_full = pl.BlockSpec((None, 8, sq_pad), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, kv_len=kv_len,
+                          block_kv=block_kv),
+        grid=(bh, sq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            full_spec(skv_pad), full_spec(skv_pad),
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 8, block_q), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 8, block_q), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_pad, d), qb.dtype),
+    )(qb, kb, vb, dob, lse, dsum)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, block_q=block_q),
+        grid=(bh, skv_pad // block_kv),
+        in_specs=[
+            full_spec(sq_pad),
+            pl.BlockSpec((None, block_kv, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_kv, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            full_spec(sq_pad),
+            row_full, row_full,
+        ],
+        out_specs=(
+            pl.BlockSpec((None, block_kv, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_kv, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, skv_pad, d), kb.dtype),
+            jax.ShapeDtypeStruct((bh, skv_pad, d), vb.dtype),
+        ),
+    )(qb, kb, vb, dob, lse, dsum)
+    return dq, dk, dv
+
+
+# ================================================================ public
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash(q, k, v, scale, block_q, block_kv):
+    out, _ = _flash_fwd_res(q, k, v, scale, block_q, block_kv)
     return out
+
+
+def _flash_fwd_res(q, k, v, scale, block_q, block_kv):
+    b, sq, h, d = q.shape
+    kv_len = k.shape[1]
+    qb = _pad_to(_to_bh(q), 1, block_q)
+    kb = _pad_to(_to_bh(k), 1, block_kv)
+    vb = _pad_to(_to_bh(v), 1, block_kv)
+    ob, lse = _forward(qb, kb, vb, scale, block_q, block_kv, kv_len, q.dtype)
+    return _from_bh(ob, b, h, sq), (qb, kb, vb, ob, lse)
+
+
+def _flash_vjp_fwd(q, k, v, scale, block_q, block_kv):
+    out, res = _flash_fwd_res(q, k, v, scale, block_q, block_kv)
+    b, sq, h, _ = q.shape
+    kv_len = k.shape[1]
+    return out, (res, (b, sq, h, kv_len))
+
+
+def _flash_vjp_bwd(scale, block_q, block_kv, carry, g):
+    (qb, kb, vb, ob, lse), (b, sq, h, kv_len) = carry
+    sq_pad = qb.shape[1]
+    # zero-pad the cotangent and +inf the padded-row lse so padded q rows
+    # contribute nothing
+    dob = _pad_to(_to_bh(g), 1, block_q)
+    if sq_pad > sq:
+        row_ids = jnp.arange(sq_pad)
+        lse = jnp.where(row_ids[None, None, :] < sq, lse, jnp.inf)
+    dq, dk, dv = _backward(qb, kb, vb, ob, dob, lse, scale, block_q,
+                           block_kv, kv_len)
+    return (_from_bh(dq, b, h, sq), _from_bh(dk, b, h, kv_len),
+            _from_bh(dv, b, h, kv_len))
+
+
+_flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
+    block_q: int = _BLOCK_Q, block_kv: int = _BLOCK_KV,
+) -> jnp.ndarray:
+    """Flash attention, (B, S, H, D) layout, full (unmasked) attention,
+    differentiable (custom flash backward kernels)."""
+    if q.ndim != 4 or q.shape[-1] % 128 != 0:
+        raise NotImplementedError("flash_attention expects (B,S,H,D) with D%128==0")
+    block_q, block_kv = _pick_blocks(q.shape[1], k.shape[1], block_q, block_kv)
+    return _flash(q, k, v, scale, block_q, block_kv)

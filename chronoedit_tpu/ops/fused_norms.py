@@ -49,19 +49,44 @@ def _lnmod_kernel(x_ref, scale_ref, shift_ref, o_ref, *, eps: float):
     o_ref[0] = (xhat * (1.0 + sc) + sh).astype(o_ref.dtype)
 
 
+def _lnmod_jnp(x, scale, shift, hw, eps):
+    b, s, d = x.shape
+    t = s // hw
+    xf = L.layer_norm({}, x, eps)  # fp32
+    xt = xf.reshape(b, t, hw, d)
+    out = xt * (1.0 + scale[:, :, None].astype(jnp.float32)) \
+        + shift[:, :, None].astype(jnp.float32)
+    return out.reshape(b, s, d).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def layer_norm_modulate(x: jnp.ndarray, scale: jnp.ndarray, shift: jnp.ndarray,
                         hw: int, eps: float = 1e-6) -> jnp.ndarray:
     """x (B, S, D) bf16; scale/shift (B, T, D) fp32 with S = T*hw.
-    Returns (B, S, D) in x.dtype."""
+    Returns (B, S, D) in x.dtype. Backward runs the (identical-math) jnp
+    formulation, so the Pallas forward stays autodiff-compatible."""
+    return _lnmod_fwd_impl(x, scale, shift, hw, eps)
+
+
+def _lnmod_vjp_fwd(x, scale, shift, hw, eps):
+    return _lnmod_fwd_impl(x, scale, shift, hw, eps), (x, scale, shift)
+
+
+def _lnmod_vjp_bwd(hw, eps, res, g):
+    x, scale, shift = res
+    _, vjp = jax.vjp(lambda *a: _lnmod_jnp(*a, hw, eps), x, scale, shift)
+    return vjp(g)
+
+
+layer_norm_modulate.defvjp(_lnmod_vjp_fwd, _lnmod_vjp_bwd)
+
+
+def _lnmod_fwd_impl(x, scale, shift, hw, eps):
     b, s, d = x.shape
     t = s // hw
     rows = min(_ROW_BLOCK, hw)
     if not _supported(x, hw, rows):
-        xf = L.layer_norm({}, x, eps)  # fp32
-        xt = xf.reshape(b, t, hw, d)
-        out = xt * (1.0 + scale[:, :, None].astype(jnp.float32)) \
-            + shift[:, :, None].astype(jnp.float32)
-        return out.reshape(b, s, d).astype(x.dtype)
+        return _lnmod_jnp(x, scale, shift, hw, eps)
 
     grid = (b, t, hw // rows)
     return pl.pallas_call(
@@ -92,17 +117,41 @@ def _gate_kernel(x_ref, delta_ref, gate_ref, o_ref):
     o_ref[0] = (x + dlt * g).astype(o_ref.dtype)
 
 
+def _gate_jnp(x, delta, gate, hw):
+    b, s, d = x.shape
+    t = s // hw
+    xt = x.astype(jnp.float32).reshape(b, t, hw, d)
+    dt = delta.astype(jnp.float32).reshape(b, t, hw, d)
+    out = xt + dt * gate[:, :, None].astype(jnp.float32)
+    return out.reshape(b, s, d).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def gated_residual(x: jnp.ndarray, delta: jnp.ndarray, gate: jnp.ndarray,
                    hw: int) -> jnp.ndarray:
     """x + delta*gate in fp32; gate (B, T, D) per-frame; output x.dtype."""
+    return _gate_fwd_impl(x, delta, gate, hw)
+
+
+def _gate_vjp_fwd(x, delta, gate, hw):
+    return _gate_fwd_impl(x, delta, gate, hw), (x, delta, gate)
+
+
+def _gate_vjp_bwd(hw, res, g):
+    x, delta, gate = res
+    _, vjp = jax.vjp(lambda *a: _gate_jnp(*a, hw), x, delta, gate)
+    return vjp(g)
+
+
+gated_residual.defvjp(_gate_vjp_fwd, _gate_vjp_bwd)
+
+
+def _gate_fwd_impl(x, delta, gate, hw):
     b, s, d = x.shape
     t = s // hw
     rows = min(_ROW_BLOCK, hw)
     if not _supported(x, hw, rows):
-        xt = x.astype(jnp.float32).reshape(b, t, hw, d)
-        dt = delta.astype(jnp.float32).reshape(b, t, hw, d)
-        out = xt + dt * gate[:, :, None].astype(jnp.float32)
-        return out.reshape(b, s, d).astype(x.dtype)
+        return _gate_jnp(x, delta, gate, hw)
 
     grid = (b, t, hw // rows)
     row_spec = pl.BlockSpec((1, rows, d),
@@ -128,8 +177,26 @@ def _rms_kernel(x_ref, w_ref, o_ref, *, eps: float):
                 * w_ref[0].astype(o_ref.dtype))
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def rms_norm_fused(params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     """Drop-in for ops.layers.rms_norm on (B, S, D)."""
+    return _rms_fwd_impl(params, x, eps)
+
+
+def _rms_vjp_fwd(params, x, eps):
+    return _rms_fwd_impl(params, x, eps), (params, x)
+
+
+def _rms_vjp_bwd(eps, res, g):
+    params, x = res
+    _, vjp = jax.vjp(lambda p, xx: L.rms_norm(p, xx, eps), params, x)
+    return vjp(g)
+
+
+rms_norm_fused.defvjp(_rms_vjp_fwd, _rms_vjp_bwd)
+
+
+def _rms_fwd_impl(params, x, eps):
     b, s, d = x.shape
     rows = min(_ROW_BLOCK, s)
     if jax.devices()[0].platform != "tpu" or d % 128 != 0 or s % rows != 0:

@@ -211,12 +211,12 @@ def _self_attention(p: Params, x: jnp.ndarray, rope_cos, rope_sin,
         attn = ring_attention if cfg.context_parallel == "ring" else ulysses_attention
         out = attn(q, k, v, mesh)
     else:
-        out = dot_product_attention(q, k, v)
+        out = dot_product_attention(q, k, v, mesh=mesh)
     return L.linear(p["o"], _merge_heads(out))
 
 
 def _cross_attention(p: Params, x: jnp.ndarray, text_ctx: jnp.ndarray,
-                     img_ctx: jnp.ndarray | None, cfg: DiTConfig):
+                     img_ctx: jnp.ndarray | None, cfg: DiTConfig, mesh=None):
     """I2V cross-attention: text branch + (optional) image branch, summed
     (transformer_chronoedit.py:81-104)."""
     q = rms_norm_fused(p["q_norm"], L.linear(p["q"], x), cfg.eps)
@@ -225,12 +225,13 @@ def _cross_attention(p: Params, x: jnp.ndarray, text_ctx: jnp.ndarray,
     k = L.rms_norm(p["k_norm"], L.linear(p["k"], text_ctx), cfg.eps)
     v = L.linear(p["v"], text_ctx)
     out = dot_product_attention(q, _split_heads(k, cfg.num_heads),
-                                _split_heads(v, cfg.num_heads))
+                                _split_heads(v, cfg.num_heads), mesh=mesh)
     if img_ctx is not None:
         k_img = L.rms_norm(p["k_img_norm"], L.linear(p["k_img"], img_ctx), cfg.eps)
         v_img = L.linear(p["v_img"], img_ctx)
         out_img = dot_product_attention(q, _split_heads(k_img, cfg.num_heads),
-                                        _split_heads(v_img, cfg.num_heads))
+                                        _split_heads(v_img, cfg.num_heads),
+                                        mesh=mesh)
         out = out + out_img
     return L.linear(p["o"], _merge_heads(out))
 
@@ -277,7 +278,7 @@ def dit_block(p: Params, x: jnp.ndarray, text_ctx, img_ctx, e: jnp.ndarray,
 
     # cross-attention (plain residual add, reference line 286)
     norm_x = L.layer_norm(p.get("norm2", {}), x, cfg.eps, out_dtype=x.dtype)
-    x = x + _cross_attention(p["cross_attn"], norm_x, text_ctx, img_ctx, cfg)
+    x = x + _cross_attention(p["cross_attn"], norm_x, text_ctx, img_ctx, cfg, mesh)
 
     # ffn
     norm_x = layer_norm_modulate(x, c_scale, c_shift, hw, cfg.eps)

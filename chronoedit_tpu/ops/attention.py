@@ -38,6 +38,8 @@ def dot_product_attention(
     v: jnp.ndarray,
     scale: float | None = None,
     backend: str | None = None,
+    mesh=None,
+    head_axis: str = "tensor",
 ) -> jnp.ndarray:
     """Scaled dot-product attention, (B, S, H, D) layout, no mask (the DiT
     uses full bidirectional attention; padding is handled upstream by the
@@ -47,9 +49,28 @@ def dot_product_attention(
       q: (B, Sq, H, D); k/v: (B, Sk, H, D).
       scale: softmax scale; defaults to D**-0.5.
       backend: force "pallas" or "xla" (None = auto).
+      mesh/head_axis: with a mesh whose ``head_axis`` size > 1, attention is
+        shard_mapped over the head dimension — heads are embarrassingly
+        parallel, and Pallas calls don't auto-partition under GSPMD, so this
+        keeps the kernel local to each tensor-parallel shard.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+
+    if (mesh is not None and mesh.shape.get(head_axis, 1) > 1
+            and q.shape[2] % mesh.shape[head_axis] == 0):
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(None, None, head_axis, None)
+
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(spec, spec, spec), out_specs=spec)
+        def sharded(qi, ki, vi):
+            return dot_product_attention(qi, ki, vi, scale=scale,
+                                         backend=backend)
+
+        return sharded(q, k, v)
+
     use_pallas = backend == "pallas" or (backend is None and _on_tpu())
     if use_pallas:
         try:

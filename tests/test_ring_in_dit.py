@@ -32,6 +32,25 @@ def test_cp_attention_modes_match_reference(mode):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_tp_head_sharded_attention_matches_reference():
+    """With a tensor axis > 1 and a mesh passed, attention runs inside a
+    head-axis shard_map (the Pallas-under-GSPMD path) — output must be
+    identical."""
+    params = _randomize(dit_lib.init_dit_params(jax.random.PRNGKey(0), TINY),
+                        jax.random.PRNGKey(1))
+    x, ts, text, img = _inputs(TINY, b=2)
+    args = (jnp.asarray(x), jnp.asarray(ts), jnp.asarray(text), jnp.asarray(img))
+    ref = dit_lib.dit_forward(params, TINY, *args)
+
+    mesh = make_mesh(MeshConfig(data=4, tensor=2))  # heads=2 % 2 == 0
+    sharded = shard_params(params, mesh, dit_param_sharding(mesh))
+    with mesh:
+        fwd = jax.jit(lambda p, *a: dit_lib.dit_forward(p, TINY, *a, mesh=mesh))
+        out = fwd(sharded, *args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_cp_falls_back_when_seq_indivisible():
     """Sequence not divisible by the context size -> dense attention path,
     same result."""

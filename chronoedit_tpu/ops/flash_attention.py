@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 # bq=256 hits 128 TFLOP/s (~65% of peak); larger q tiles fail to compile
 # (VMEM) or run slower.
 _BLOCK_Q = 256
-_BLOCK_KV = 1024
+_BLOCK_KV = 512
 
 
 def _pick_blocks(sq: int, kv_len: int, block_q: int, block_kv: int):
@@ -61,7 +61,11 @@ def _from_bh(x: jnp.ndarray, b: int, h: int, sq: int) -> jnp.ndarray:
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
                 kv_len: int, block_kv: int):
-    q = q_ref[...].astype(jnp.float32) * scale  # (Bq, D)
+    # bf16 MXU inputs with fp32 accumulation (single-pass matmuls — fp32
+    # inputs force the multi-pass MXU path); softmax statistics in fp32,
+    # probabilities cast to the input dtype for the PV dot (flash-attn
+    # practice); scale folded into the fp32 scores
+    q = q_ref[...]  # (Bq, D), input dtype
     bq, d = q.shape
     num_blocks = k_ref.shape[0] // block_kv
 
@@ -71,10 +75,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
 
     for i in range(num_blocks):
         start = i * block_kv
-        k = k_ref[pl.ds(start, block_kv), :].astype(jnp.float32)
-        v = v_ref[pl.ds(start, block_kv), :].astype(jnp.float32)
+        k = k_ref[pl.ds(start, block_kv), :]
+        v = v_ref[pl.ds(start, block_kv), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32) * scale
         if start + block_kv > kv_len:  # only the final partial block masks
             kv_ids = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(kv_ids < kv_len, s, -jnp.inf)
@@ -84,7 +88,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
             m = m_cur
             p = jnp.exp(s - m)
             l = jnp.sum(p, axis=1, keepdims=True)
-            acc = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+            acc = jax.lax.dot_general(p.astype(q.dtype), v,
+                                      (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         else:
             m_new = jnp.maximum(m, m_cur)
@@ -92,7 +97,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
             p = jnp.exp(s - m_new)
             l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
             acc = acc * alpha + jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())),
+                p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             m = m_new
 
@@ -141,8 +146,8 @@ def _forward(qb, kb, vb, scale, block_q, block_kv, kv_len, out_dtype):
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, dq_ref, *,
                scale: float, kv_len: int, block_kv: int):
-    q = q_ref[...].astype(jnp.float32)  # (Bq, D)
-    do = do_ref[...].astype(jnp.float32)
+    q = q_ref[...]  # (Bq, D), input dtype
+    do = do_ref[...]
     lse = lse_ref[0][:, None]  # (Bq, 1)
     dsum = dsum_ref[0][:, None]
     bq, d = q.shape
@@ -151,8 +156,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, dq_ref, *,
     dq = jnp.zeros((bq, d), jnp.float32)
     for i in range(num_blocks):
         start = i * block_kv
-        k = k_ref[pl.ds(start, block_kv), :].astype(jnp.float32)
-        v = v_ref[pl.ds(start, block_kv), :].astype(jnp.float32)
+        k = k_ref[pl.ds(start, block_kv), :]
+        v = v_ref[pl.ds(start, block_kv), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         if start + block_kv > kv_len:
@@ -161,7 +166,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, dq_ref, *,
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - dsum) * scale
+        ds = (p * (dp - dsum) * scale).astype(q.dtype)
         dq = dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
     dq_ref[...] = dq.astype(dq_ref.dtype)
@@ -169,8 +174,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, dq_ref, *,
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
                 dk_ref, dv_ref, *, scale: float, block_q: int):
-    k = k_ref[...].astype(jnp.float32)  # (Bk, D)
-    v = v_ref[...].astype(jnp.float32)
+    k = k_ref[...]  # (Bk, D), input dtype
+    v = v_ref[...]
     bk, d = k.shape
     num_blocks = q_ref.shape[0] // block_q
 
@@ -178,19 +183,20 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
     dv = jnp.zeros((bk, d), jnp.float32)
     for i in range(num_blocks):
         start = i * block_q
-        q = q_ref[pl.ds(start, block_q), :].astype(jnp.float32)
-        do = do_ref[pl.ds(start, block_q), :].astype(jnp.float32)
+        q = q_ref[pl.ds(start, block_q), :]
+        do = do_ref[pl.ds(start, block_q), :]
         lse = lse_ref[0, pl.ds(start, block_q)][None, :]  # (1, Bq)
         dsum = dsum_ref[0, pl.ds(start, block_q)][None, :]
         # p^T: (Bk, Bq); padded q rows carry lse=+inf -> p=0
         st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32) * scale
         pt = jnp.exp(st - lse)
-        dv = dv + jax.lax.dot_general(pt, do, (((1,), (0,)), ((), ())),
+        dv = dv + jax.lax.dot_general(pt.astype(k.dtype), do,
+                                      (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         dpt = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-        dst = pt * (dpt - dsum) * scale
+        dst = (pt * (dpt - dsum) * scale).astype(k.dtype)
         dk = dk + jax.lax.dot_general(dst, q, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
     dk_ref[...] = dk.astype(dk_ref.dtype)

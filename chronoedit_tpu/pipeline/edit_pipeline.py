@@ -278,6 +278,11 @@ class ChronoEditPipeline:
         latents with ``output_type="latent"``."""
         cfg = self.config
         num_frames = num_frames or (29 if enable_temporal_reasoning else cfg.num_frames)
+        # round to a VAE-compatible frame count (tfac*k + 1), as the
+        # reference does with a warning (pipeline_chronoedit.py:606-611)
+        tfac = cfg.vae.temporal_factor
+        if num_frames % tfac != 1:
+            num_frames = max(num_frames // tfac * tfac + 1, 1)
         num_steps = num_steps or cfg.num_steps
         guidance = cfg.guidance_scale if guidance_scale is None else guidance_scale
         shift = flow_shift or cfg.flow_shift

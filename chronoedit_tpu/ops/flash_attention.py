@@ -59,6 +59,11 @@ def _from_bh(x: jnp.ndarray, b: int, h: int, sq: int) -> jnp.ndarray:
 
 # ================================================================ forward
 
+def _dot_precision(dtype):
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
                 kv_len: int, block_kv: int):
     # bf16 MXU inputs with fp32 accumulation (single-pass matmuls — fp32
@@ -78,7 +83,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
         k = k_ref[pl.ds(start, block_kv), :]
         v = v_ref[pl.ds(start, block_kv), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32,
+                                precision=_dot_precision(q.dtype)) * scale
         if start + block_kv > kv_len:  # only the final partial block masks
             kv_ids = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(kv_ids < kv_len, s, -jnp.inf)
@@ -90,7 +96,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
             l = jnp.sum(p, axis=1, keepdims=True)
             acc = jax.lax.dot_general(p.astype(q.dtype), v,
                                       (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+                                      preferred_element_type=jnp.float32,
+                                precision=_dot_precision(q.dtype))
         else:
             m_new = jnp.maximum(m, m_cur)
             alpha = jnp.exp(m - m_new)
@@ -98,7 +105,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
             l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
             acc = acc * alpha + jax.lax.dot_general(
                 p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                                precision=_dot_precision(q.dtype))
             m = m_new
 
     o_ref[...] = (acc / l).astype(o_ref.dtype)
@@ -159,16 +167,19 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, dq_ref, *,
         k = k_ref[pl.ds(start, block_kv), :]
         v = v_ref[pl.ds(start, block_kv), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32,
+                                precision=_dot_precision(q.dtype)) * scale
         if start + block_kv > kv_len:
             kv_ids = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(kv_ids < kv_len, s, -jnp.inf)
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                precision=_dot_precision(q.dtype))
         ds = (p * (dp - dsum) * scale).astype(q.dtype)
         dq = dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+                                      preferred_element_type=jnp.float32,
+                                precision=_dot_precision(q.dtype))
     dq_ref[...] = dq.astype(dq_ref.dtype)
 
 
@@ -189,16 +200,20 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
         dsum = dsum_ref[0, pl.ds(start, block_q)][None, :]
         # p^T: (Bk, Bq); padded q rows carry lse=+inf -> p=0
         st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32) * scale
+                                 preferred_element_type=jnp.float32,
+                                precision=_dot_precision(q.dtype)) * scale
         pt = jnp.exp(st - lse)
         dv = dv + jax.lax.dot_general(pt.astype(k.dtype), do,
                                       (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+                                      preferred_element_type=jnp.float32,
+                                precision=_dot_precision(q.dtype))
         dpt = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+                                precision=_dot_precision(q.dtype))
         dst = (pt * (dpt - dsum) * scale).astype(k.dtype)
         dk = dk + jax.lax.dot_general(dst, q, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+                                      preferred_element_type=jnp.float32,
+                                precision=_dot_precision(q.dtype))
     dk_ref[...] = dk.astype(dk_ref.dtype)
     dv_ref[...] = dv.astype(dv_ref.dtype)
 
@@ -312,4 +327,13 @@ def flash_attention(
     if q.ndim != 4 or q.shape[-1] % 128 != 0:
         raise NotImplementedError("flash_attention expects (B,S,H,D) with D%128==0")
     block_q, block_kv = _pick_blocks(q.shape[1], k.shape[1], block_q, block_kv)
+    # KV is VMEM-resident per (batch*head): guard the fp32 long-sequence case
+    # (production runs bf16; fp32 exists for parity tooling at small sizes)
+    itemsize = jnp.dtype(q.dtype).itemsize
+    skv_pad = -(-k.shape[1] // block_kv) * block_kv
+    vmem_est = (2 * skv_pad + 4 * block_q) * q.shape[-1] * itemsize
+    if vmem_est > 12 * 1024 * 1024:
+        raise NotImplementedError(
+            f"KV-resident flash_attention would need ~{vmem_est >> 20} MiB "
+            "VMEM; use bf16 inputs or shorter sequences")
     return _flash(q, k, v, scale, block_q, block_kv)

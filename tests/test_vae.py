@@ -92,6 +92,17 @@ def test_latent_normalization_roundtrip(tiny_vae):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_spatial_up_subpixel_equivalence():
+    """The subpixel upsample+conv must equal the direct nearest2x+conv3x3."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    p = {"kernel": jax.random.normal(k1, (1, 3, 3, 8, 4)) * 0.2,
+         "bias": jax.random.normal(k2, (4,)) * 0.1}
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 5, 7, 8))
+    a = vae_lib._spatial_up(p, x)
+    b = vae_lib._spatial_up_subpixel(p, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_chunked_encode_equals_full(tiny_vae):
     """Full-sequence encode == concat of causal-chunk encodes when chunks are
     re-fed with their pixel context (the property the reference streams on).

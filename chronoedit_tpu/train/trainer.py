@@ -92,6 +92,18 @@ class Trainer:
         if self._step_fn is None:
             self._step_fn = make_train_step(self.dit_cfg, self.train_cfg)
 
+        # serialize the resolved configs at job start (reference
+        # trainer.py:104-109 dumps pkl+yaml)
+        if self.checkpoints is not None:
+            from chronoedit_tpu.utils import easy_io
+            from chronoedit_tpu.utils.config import config_to_dict
+
+            easy_io.dump(
+                {"dit": config_to_dict(self.dit_cfg),
+                 "train": config_to_dict(self.train_cfg),
+                 "trainer": config_to_dict(self.cfg)},
+                f"{self.checkpoints.cfg.directory}/config.json")
+
         self.callbacks.on_train_start(self)
         start = int(state.step)
         metrics: dict[str, Any] = {}

@@ -307,6 +307,7 @@ class ChronoEditPipeline:
             prompt_emb.shape,
             None if neg_prompt_emb is None else neg_prompt_emb.shape,
             None if image_emb is None else image_emb.shape,
+            id(self.mesh),  # closures capture the mesh
         )
         if static_key not in self._jit_cache:
             run = self._make_run(

@@ -75,12 +75,16 @@ class DiTConfig:
     param_dtype: Any = jnp.float32
     # remat ("none" | "full" | "matmul_only" ~ reference SAC mm_only)
     remat: str = "none"
-    # context-parallel self-attention: "gspmd" lets XLA insert all-gathers
-    # for sequence-sharded tokens; "ring" uses the explicit ppermute ring
-    # kernel (TE cp_comm_type="p2p" equivalent); "ulysses" uses all-to-all
-    # head resharding (xDiT USP equivalent). Only used when a mesh with a
-    # context axis > 1 is passed to dit_forward.
-    context_parallel: str = "gspmd"
+    # context-parallel self-attention, used when a mesh with a context
+    # axis > 1 is passed to dit_forward:
+    # - "auto" (default): ulysses when heads divide the context axis, else
+    #   ring — an explicit CP kernel is always preferred over gspmd, which
+    #   all-gathers the full KV on every device.
+    # - "ring": ppermute ring with per-hop Pallas flash tiles (TE
+    #   cp_comm_type="p2p" equivalent, wan2pt1.py:301-353).
+    # - "ulysses": all-to-all head resharding (xDiT USP equivalent).
+    # - "gspmd": let XLA insert collectives around dense attention.
+    context_parallel: str = "auto"
 
     @property
     def dim(self) -> int:
@@ -202,13 +206,16 @@ def _self_attention(p: Params, x: jnp.ndarray, rope_cos, rope_sin,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    use_cp = (mesh is not None and cfg.context_parallel != "gspmd"
-              and mesh.shape.get("context", 1) > 1
-              and q.shape[1] % mesh.shape["context"] == 0)
+    cp_size = mesh.shape.get("context", 1) if mesh is not None else 1
+    mode = cfg.context_parallel
+    if mode == "auto" and cp_size > 1:
+        mode = "ulysses" if q.shape[2] % cp_size == 0 else "ring"
+    use_cp = (mode in ("ring", "ulysses") and cp_size > 1
+              and q.shape[1] % cp_size == 0)
     if use_cp:
         from chronoedit_tpu.parallel.context import ring_attention, ulysses_attention
 
-        attn = ring_attention if cfg.context_parallel == "ring" else ulysses_attention
+        attn = ring_attention if mode == "ring" else ulysses_attention
         out = attn(q, k, v, mesh)
     else:
         out = dot_product_attention(q, k, v, mesh=mesh)

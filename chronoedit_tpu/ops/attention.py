@@ -64,7 +64,8 @@ def dot_product_attention(
         spec = P(None, None, head_axis, None)
 
         @functools.partial(jax.shard_map, mesh=mesh,
-                           in_specs=(spec, spec, spec), out_specs=spec)
+                           in_specs=(spec, spec, spec), out_specs=spec,
+                           check_vma=False)
         def sharded(qi, ki, vi):
             return dot_product_attention(qi, ki, vi, scale=scale,
                                          backend=backend)

@@ -1,19 +1,28 @@
-"""Pallas TPU flash-attention kernel (forward + backward).
+"""Pallas TPU flash-attention kernels (forward + backward), streamed KV.
 
 Replaces the reference's TransformerEngine/flash-attn/cuDNN attention stack
 (SURVEY §2.9) with online-softmax kernels tiled for the MXU:
 
-- forward: (batch*head, q_block) grid, KV resident in VMEM, statically
-  unrolled KV loop with padding masked only in the final partial block;
-  also emits the per-row logsumexp for the backward.
+- forward: ``(batch*head, q_block, kv_block)`` grid. KV blocks are *streamed*
+  HBM->VMEM by the Pallas pipeline (the innermost grid dim walks KV), with
+  the online-softmax state (acc, row-max, row-sum) carried across kv steps
+  in VMEM scratch. VMEM residency is O(block sizes) only, so the kernel
+  covers arbitrarily long sequences — including the 29-frame 720p reasoning
+  mode (~28.8k tokens) the reference hits via its 40-block self-attention
+  hot loop (chronoedit_diffusers/transformer_chronoedit.py:267-295).
+  Also emits the per-row logsumexp for the backward and for ring attention.
 - backward: the standard two-kernel flash backward — a dq kernel gridded
-  over q blocks and a dk/dv kernel gridded over kv blocks, both recomputing
-  probabilities from (q, k, lse) instead of materializing S x S.
+  over (bh, q, kv) and a dk/dv kernel gridded over (bh, kv, q), both
+  recomputing probabilities from (q, k, lse) instead of materializing S x S,
+  accumulating in VMEM scratch across the streamed inner dim.
 
 Exposed through ``jax.custom_vjp`` so the DiT trains through it on TPU.
-Falls back (raises NotImplementedError) for unsupported shapes so the XLA
-path can take over — note the XLA path is not viable at production sizes
-(the 720p edit sequence's score tensor alone is ~15.7 GB).
+The same dq/dkv kernels power the exact ring-attention backward in
+``chronoedit_tpu.parallel.context`` (they take an explicit lse, which the
+ring pass supplies globally).
+
+Falls back (raises NotImplementedError) only for unsupported layouts
+(D % 128 != 0) so the XLA path can take over.
 """
 
 from __future__ import annotations
@@ -25,11 +34,26 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Tunables swept with tools/tune_attention.py on v5e (720p edit shapes):
-# bq=256 hits 128 TFLOP/s (~65% of peak); larger q tiles fail to compile
-# (VMEM) or run slower.
-_BLOCK_Q = 256
-_BLOCK_KV = 512
+# Tunables swept on v5e (720p edit + reasoning shapes, honest scan-chained
+# timing): streamed path peaks at 1024x1024 (126 TFLOP/s at 28.8k tokens);
+# the resident path caps q blocks at 256 itself (127-131 TFLOP/s at 7.2k).
+_BLOCK_Q = 1024
+_BLOCK_KV = 1024
+
+_NEG_INF = float("-inf")
+
+
+def _interpret() -> bool:
+    """Pallas interpret mode off-TPU (CPU tests drive the same kernels)."""
+    return _platform() != "tpu"
+
+
+@functools.cache
+def _platform() -> str:
+    try:
+        return jax.devices()[0].platform
+    except Exception:  # pragma: no cover - no backend at all
+        return "cpu"
 
 
 def _pick_blocks(sq: int, kv_len: int, block_q: int, block_kv: int):
@@ -57,220 +81,316 @@ def _from_bh(x: jnp.ndarray, b: int, h: int, sq: int) -> jnp.ndarray:
     return x[:, :sq, :].reshape(b, h, sq, x.shape[-1]).transpose(0, 2, 1, 3)
 
 
-# ================================================================ forward
-
 def _dot_precision(dtype):
     return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
-                kv_len: int, block_kv: int):
+def _dot(a, b, dims, dtype):
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_dot_precision(dtype))
+
+
+# ================================================================ forward
+
+# KV small enough to keep resident in VMEM per (batch*head): use the
+# unrolled-resident kernel — Mosaic overlaps sub-block t's softmax (VPU)
+# with sub-block t+1's score matmul (MXU) across the static unroll, which
+# grid-streamed steps don't get (measured 141 vs 101 TFLOP/s at 7.2k
+# tokens on v5e). Above the threshold, stream KV blocks through the grid.
+_RESIDENT_KV_BYTES = 6 * 1024 * 1024
+_SUB_BLOCK = 512
+
+
+def _online_step(q, k, v, s_mask, scale, acc, m_prev, l_prev):
+    """One online-softmax update with an optional (static) column mask."""
+    s = _dot(q, k, ((1,), (1,)), q.dtype) * scale
+    if s_mask is not None:
+        s = jnp.where(s_mask, s, _NEG_INF)
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_new = acc * alpha + _dot(p.astype(q.dtype), v, ((1,), (0,)), q.dtype)
+    return acc_new, m_new, l_new
+
+
+def _fwd_kernel_resident(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                         scale: float, kv_len: int, sub: int):
     # bf16 MXU inputs with fp32 accumulation (single-pass matmuls — fp32
     # inputs force the multi-pass MXU path); softmax statistics in fp32,
     # probabilities cast to the input dtype for the PV dot (flash-attn
-    # practice); scale folded into the fp32 scores
+    # practice); scale folded into the fp32 scores. Whole KV resident in
+    # VMEM; the KV loop is a static python unroll with the padding mask
+    # applied only to the final partial sub-block.
     q = q_ref[...]  # (Bq, D), input dtype
     bq, d = q.shape
-    num_blocks = k_ref.shape[0] // block_kv
+    skv = k_ref.shape[0]
 
     acc = jnp.zeros((bq, d), jnp.float32)
-    m = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    m = jnp.full((bq, 1), _NEG_INF, jnp.float32)
     l = jnp.zeros((bq, 1), jnp.float32)
-
-    for i in range(num_blocks):
-        start = i * block_kv
-        k = k_ref[pl.ds(start, block_kv), :]
-        v = v_ref[pl.ds(start, block_kv), :]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=_dot_precision(q.dtype)) * scale
-        if start + block_kv > kv_len:  # only the final partial block masks
-            kv_ids = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(kv_ids < kv_len, s, -jnp.inf)
-
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        if i == 0:
-            m = m_cur
-            p = jnp.exp(s - m)
-            l = jnp.sum(p, axis=1, keepdims=True)
-            acc = jax.lax.dot_general(p.astype(q.dtype), v,
-                                      (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32,
-                                precision=_dot_precision(q.dtype))
-        else:
-            m_new = jnp.maximum(m, m_cur)
-            alpha = jnp.exp(m - m_new)
-            p = jnp.exp(s - m_new)
-            l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-            acc = acc * alpha + jax.lax.dot_general(
-                p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                                precision=_dot_precision(q.dtype))
-            m = m_new
+    for start in range(0, skv, sub):
+        size = min(sub, skv - start)  # final sub-block may be ragged
+        k = k_ref[pl.ds(start, size), :]
+        v = v_ref[pl.ds(start, size), :]
+        mask = None
+        if start + size > kv_len:  # static: only the boundary sub-block
+            kv_ids = start + jax.lax.broadcasted_iota(jnp.int32, (bq, size), 1)
+            mask = kv_ids < kv_len
+        acc, m, l = _online_step(q, k, v, mask, scale, acc, m, l)
 
     o_ref[...] = (acc / l).astype(o_ref.dtype)
-    # lse replicated across 8 sublanes (TPU block shapes need sublane%8==0)
+    # lse replicated across 8 sublanes (TPU block sublane%8==0)
     lse_ref[...] = jnp.broadcast_to((m + jnp.log(l))[:, 0][None, :],
                                     lse_ref.shape)
+
+
+def _fwd_kernel_streamed(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                         acc_ref, m_ref, l_ref, *, scale: float,
+                         kv_len: int, block_kv: int, masked: bool):
+    # Same math as the resident kernel, with the online-softmax state
+    # (acc, m, l) carried across the streamed kv grid dim in VMEM scratch.
+    # The padding mask is applied unconditionally when the sequence is
+    # padded — a lax.cond boundary-only variant measured *slower* (74 vs
+    # 126 TFLOP/s at 28.8k tokens): the conditional blocks Mosaic's
+    # scheduling, while the mask itself is ~3 cheap VPU ops/token.
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[...]  # (Bq, D), input dtype
+    k = k_ref[...]
+    v = v_ref[...]
+    s = _dot(q, k, ((1,), (1,)), q.dtype) * scale
+    if masked:
+        kv_ids = ki * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(kv_ids < kv_len, s, _NEG_INF)
+
+    m_prev = m_ref[:, :1]  # lanes replicated; col 0 is canonical
+    l_prev = l_ref[:, :1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+    acc_ref[...] = acc_ref[...] * alpha + _dot(p.astype(q.dtype), v,
+                                               ((1,), (0,)), q.dtype)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l_fin = l_ref[:, :1]
+        o_ref[...] = (acc_ref[...] / l_fin).astype(o_ref.dtype)
+        lse = m_ref[:, :1] + jnp.log(l_fin)
+        lse_ref[...] = jnp.broadcast_to(lse[:, 0][None, :], lse_ref.shape)
 
 
 def _forward(qb, kb, vb, scale, block_q, block_kv, kv_len, out_dtype):
     bh, sq_pad, d = qb.shape
     skv_pad = kb.shape[1]
-    grid = (bh, sq_pad // block_q)
-    out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len,
-                          block_kv=block_kv),
+    itemsize = jnp.dtype(qb.dtype).itemsize
+    cost = pl.CostEstimate(
+        flops=4 * bh * sq_pad * skv_pad * d,
+        bytes_accessed=(qb.size + kb.size + vb.size) * itemsize,
+        transcendentals=bh * sq_pad * skv_pad,
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((bh, sq_pad, d), out_dtype),
+        jax.ShapeDtypeStruct((bh, 8, sq_pad), jnp.float32),
+    )
+
+    if 2 * skv_pad * d * itemsize <= _RESIDENT_KV_BYTES:
+        sub = min(_SUB_BLOCK, skv_pad)
+        # smaller q blocks leave VMEM room for the resident KV; keep a
+        # divisor of sq_pad (which is always a multiple of 128)
+        if block_q > 256:
+            block_q = 256 if sq_pad % 256 == 0 else 128
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel_resident, scale=scale,
+                              kv_len=kv_len, sub=sub),
+            grid=(bh, sq_pad // block_q),
+            in_specs=[
+                pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, skv_pad, d), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, skv_pad, d), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, 8, block_q), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=out_shape,
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(qb, kb, vb)
+
+    grid = (bh, sq_pad // block_q, skv_pad // block_kv)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_streamed, scale=scale, kv_len=kv_len,
+                          block_kv=block_kv, masked=skv_pad != kv_len),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((None, block_q, d), lambda i, j, ki: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, skv_pad, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((None, block_kv, d), lambda i, j, ki: (i, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, skv_pad, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((None, block_kv, d), lambda i, j, ki: (i, ki, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((None, block_q, d), lambda i, j, ki: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 8, block_q), lambda i, j: (i, 0, j),
+            pl.BlockSpec((None, 8, block_q), lambda i, j, ki: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((bh, sq_pad, d), out_dtype),
-            jax.ShapeDtypeStruct((bh, 8, sq_pad), jnp.float32),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),    # acc
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running row max
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running row sum
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * bh * sq_pad * skv_pad * d,
-            bytes_accessed=(qb.size + kb.size + vb.size) * qb.dtype.itemsize,
-            transcendentals=bh * sq_pad * skv_pad,
-        ),
+        cost_estimate=cost,
+        interpret=_interpret(),
     )(qb, kb, vb)
-    return out, lse
 
 
 # ================================================================ backward
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, dq_ref, *,
-               scale: float, kv_len: int, block_kv: int):
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, dq_ref,
+               dq_acc, *, scale: float, kv_len: int, block_kv: int,
+               masked: bool):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
     q = q_ref[...]  # (Bq, D), input dtype
     do = do_ref[...]
     lse = lse_ref[0][:, None]  # (Bq, 1)
     dsum = dsum_ref[0][:, None]
-    bq, d = q.shape
-    num_blocks = k_ref.shape[0] // block_kv
+    k = k_ref[...]
+    v = v_ref[...]
+    s = _dot(q, k, ((1,), (1,)), q.dtype) * scale
+    if masked:
+        kv_ids = ki * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(kv_ids < kv_len, s, _NEG_INF)
+    p = jnp.exp(s - lse)
+    dp = _dot(do, v, ((1,), (1,)), q.dtype)
+    ds = (p * (dp - dsum) * scale).astype(q.dtype)
+    dq_acc[...] = dq_acc[...] + _dot(ds, k, ((1,), (0,)), q.dtype)
 
-    dq = jnp.zeros((bq, d), jnp.float32)
-    for i in range(num_blocks):
-        start = i * block_kv
-        k = k_ref[pl.ds(start, block_kv), :]
-        v = v_ref[pl.ds(start, block_kv), :]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=_dot_precision(q.dtype)) * scale
-        if start + block_kv > kv_len:
-            kv_ids = start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(kv_ids < kv_len, s, -jnp.inf)
-        p = jnp.exp(s - lse)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-                                precision=_dot_precision(q.dtype))
-        ds = (p * (dp - dsum) * scale).astype(q.dtype)
-        dq = dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32,
-                                precision=_dot_precision(q.dtype))
-    dq_ref[...] = dq.astype(dq_ref.dtype)
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        dq_ref[...] = dq_acc[...].astype(dq_ref.dtype)
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
-                dk_ref, dv_ref, *, scale: float, block_q: int):
+                dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float):
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
     k = k_ref[...]  # (Bk, D), input dtype
     v = v_ref[...]
-    bk, d = k.shape
-    num_blocks = q_ref.shape[0] // block_q
+    q = q_ref[...]  # (Bq, D)
+    do = do_ref[...]
+    lse = lse_ref[0][None, :]  # (1, Bq); padded q rows carry lse=+inf -> p=0
+    dsum = dsum_ref[0][None, :]
+    # p^T: (Bk, Bq)
+    st = _dot(k, q, ((1,), (1,)), q.dtype) * scale
+    pt = jnp.exp(st - lse)
+    dv_acc[...] = dv_acc[...] + _dot(pt.astype(k.dtype), do, ((1,), (0,)),
+                                     q.dtype)
+    dpt = _dot(v, do, ((1,), (1,)), q.dtype)
+    dst = (pt * (dpt - dsum) * scale).astype(k.dtype)
+    dk_acc[...] = dk_acc[...] + _dot(dst, q, ((1,), (0,)), q.dtype)
 
-    dk = jnp.zeros((bk, d), jnp.float32)
-    dv = jnp.zeros((bk, d), jnp.float32)
-    for i in range(num_blocks):
-        start = i * block_q
-        q = q_ref[pl.ds(start, block_q), :]
-        do = do_ref[pl.ds(start, block_q), :]
-        lse = lse_ref[0, pl.ds(start, block_q)][None, :]  # (1, Bq)
-        dsum = dsum_ref[0, pl.ds(start, block_q)][None, :]
-        # p^T: (Bk, Bq); padded q rows carry lse=+inf -> p=0
-        st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-                                precision=_dot_precision(q.dtype)) * scale
-        pt = jnp.exp(st - lse)
-        dv = dv + jax.lax.dot_general(pt.astype(k.dtype), do,
-                                      (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32,
-                                precision=_dot_precision(q.dtype))
-        dpt = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32,
-                                precision=_dot_precision(q.dtype))
-        dst = (pt * (dpt - dsum) * scale).astype(k.dtype)
-        dk = dk + jax.lax.dot_general(dst, q, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32,
-                                precision=_dot_precision(q.dtype))
-    dk_ref[...] = dk.astype(dk_ref.dtype)
-    dv_ref[...] = dv.astype(dv_ref.dtype)
+    @pl.when(qi == nq - 1)
+    def _finalize():
+        dk_ref[...] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[...] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _backward(qb, kb, vb, ob, dob, lse, scale, block_q, block_kv, kv_len):
+    """Flash backward on padded (BH, S, D) buffers.
+
+    ``lse`` must already be +inf on padded q rows (so p=0 there); it may be
+    the *global* logsumexp when used per-hop by ring attention — the math is
+    identical, p is then the globally-normalized probability.
+    """
     bh, sq_pad, d = qb.shape
     skv_pad = kb.shape[1]
     dsum = jnp.sum(dob.astype(jnp.float32) * ob.astype(jnp.float32), axis=-1)
     dsum = jnp.broadcast_to(dsum[:, None, :], (bh, 8, sq_pad))
+    masked = skv_pad != kv_len
 
-    full_spec = lambda s: pl.BlockSpec((None, s, d), lambda i, j: (i, 0, 0),
-                                       memory_space=pltpu.VMEM)
-    row_full = pl.BlockSpec((None, 8, sq_pad), lambda i, j: (i, 0, 0),
+    q_blk = pl.BlockSpec((None, block_q, d), lambda i, j, ki: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    kv_blk_q = pl.BlockSpec((None, block_kv, d), lambda i, j, ki: (i, ki, 0),
                             memory_space=pltpu.VMEM)
+    row_blk_q = pl.BlockSpec((None, 8, block_q), lambda i, j, ki: (i, 0, j),
+                             memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, kv_len=kv_len,
-                          block_kv=block_kv),
-        grid=(bh, sq_pad // block_q),
-        in_specs=[
-            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            full_spec(skv_pad), full_spec(skv_pad),
-            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 8, block_q), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 8, block_q), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
+                          block_kv=block_kv, masked=masked),
+        grid=(bh, sq_pad // block_q, skv_pad // block_kv),
+        in_specs=[q_blk, kv_blk_q, kv_blk_q, q_blk, row_blk_q, row_blk_q],
+        out_specs=q_blk,
         out_shape=jax.ShapeDtypeStruct((bh, sq_pad, d), qb.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
     )(qb, kb, vb, dob, lse, dsum)
 
+    q_blk_i = pl.BlockSpec((None, block_q, d), lambda i, j, qi: (i, qi, 0),
+                           memory_space=pltpu.VMEM)
+    kv_blk = pl.BlockSpec((None, block_kv, d), lambda i, j, qi: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    row_blk_i = pl.BlockSpec((None, 8, block_q), lambda i, j, qi: (i, 0, qi),
+                             memory_space=pltpu.VMEM)
+
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, block_q=block_q),
-        grid=(bh, skv_pad // block_kv),
-        in_specs=[
-            full_spec(sq_pad),
-            pl.BlockSpec((None, block_kv, d), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, block_kv, d), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            full_spec(sq_pad),
-            row_full, row_full,
-        ],
-        out_specs=(
-            pl.BlockSpec((None, block_kv, d), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, block_kv, d), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        functools.partial(_dkv_kernel, scale=scale),
+        grid=(bh, skv_pad // block_kv, sq_pad // block_q),
+        in_specs=[q_blk_i, kv_blk, kv_blk, q_blk_i, row_blk_i, row_blk_i],
+        out_specs=(kv_blk, kv_blk),
         out_shape=(
             jax.ShapeDtypeStruct((bh, skv_pad, d), kb.dtype),
             jax.ShapeDtypeStruct((bh, skv_pad, d), vb.dtype),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, d), jnp.float32),
+            pltpu.VMEM((block_kv, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
     )(qb, kb, vb, dob, lse, dsum)
     return dq, dk, dv
 
@@ -318,22 +438,73 @@ def _flash_vjp_bwd(scale, block_q, block_kv, carry, g):
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
+def _check_layout(q):
+    if q.ndim != 4 or q.shape[-1] % 128 != 0:
+        raise NotImplementedError(
+            "flash_attention expects (B,S,H,D) with D%128==0")
+
+
 def flash_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     block_q: int = _BLOCK_Q, block_kv: int = _BLOCK_KV,
 ) -> jnp.ndarray:
     """Flash attention, (B, S, H, D) layout, full (unmasked) attention,
-    differentiable (custom flash backward kernels)."""
-    if q.ndim != 4 or q.shape[-1] % 128 != 0:
-        raise NotImplementedError("flash_attention expects (B,S,H,D) with D%128==0")
+    differentiable (custom flash backward kernels). KV is streamed from HBM
+    block-by-block, so sequence length is bounded by HBM, not VMEM."""
+    _check_layout(q)
     block_q, block_kv = _pick_blocks(q.shape[1], k.shape[1], block_q, block_kv)
-    # KV is VMEM-resident per (batch*head): guard the fp32 long-sequence case
-    # (production runs bf16; fp32 exists for parity tooling at small sizes)
-    itemsize = jnp.dtype(q.dtype).itemsize
-    skv_pad = -(-k.shape[1] // block_kv) * block_kv
-    vmem_est = (2 * skv_pad + 4 * block_q) * q.shape[-1] * itemsize
-    if vmem_est > 12 * 1024 * 1024:
-        raise NotImplementedError(
-            f"KV-resident flash_attention would need ~{vmem_est >> 20} MiB "
-            "VMEM; use bf16 inputs or shorter sequences")
     return _flash(q, k, v, scale, block_q, block_kv)
+
+
+def flash_attention_with_lse(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
+    block_q: int = _BLOCK_Q, block_kv: int = _BLOCK_KV,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward-only flash attention returning ``(out, lse)``.
+
+    ``lse`` is (B, S, H) fp32 logsumexp of the scaled scores. NOT
+    differentiable — ring attention (parallel/context.py) wraps per-hop
+    calls in its own custom_vjp and supplies exact gradients itself.
+    """
+    _check_layout(q)
+    b, sq, h, d = q.shape
+    block_q, block_kv = _pick_blocks(sq, k.shape[1], block_q, block_kv)
+    kv_len = k.shape[1]
+    qb = _pad_to(_to_bh(q), 1, block_q)
+    kb = _pad_to(_to_bh(k), 1, block_kv)
+    vb = _pad_to(_to_bh(v), 1, block_kv)
+    ob, lse = _forward(qb, kb, vb, scale, block_q, block_kv, kv_len, q.dtype)
+    out = _from_bh(ob, b, h, sq)
+    lse_bsh = lse[:, 0, :sq].reshape(b, h, sq).transpose(0, 2, 1)
+    return out, lse_bsh
+
+
+def flash_attention_bwd(
+    q, k, v, out, dout, lse, scale: float,
+    block_q: int = _BLOCK_Q, block_kv: int = _BLOCK_KV,
+):
+    """Raw flash backward given an explicit (possibly *global*) lse.
+
+    All of q/k/v/out/dout are (B, S, H, D); lse is (B, S, H) fp32. Used by
+    ring attention: per hop, p is recomputed as exp(q·k_hop - lse_global),
+    which is exactly the globally-normalized probability block, so summing
+    per-hop dq (locally) and dk/dv (in rotating buffers) is exact.
+    """
+    _check_layout(q)
+    b, sq, h, d = q.shape
+    kv_len = k.shape[1]
+    block_q, block_kv = _pick_blocks(sq, kv_len, block_q, block_kv)
+    qb = _pad_to(_to_bh(q), 1, block_q)
+    kb = _pad_to(_to_bh(k), 1, block_kv)
+    vb = _pad_to(_to_bh(v), 1, block_kv)
+    ob = _pad_to(_to_bh(out), 1, block_q)
+    dob = _pad_to(_to_bh(dout), 1, block_q)
+    sq_pad = qb.shape[1]
+    lse_b = lse.transpose(0, 2, 1).reshape(b * h, sq)  # (BH, S)
+    lse_b = jnp.pad(lse_b, ((0, 0), (0, sq_pad - sq)),
+                    constant_values=jnp.inf)
+    lse_b = jnp.broadcast_to(lse_b[:, None, :], (b * h, 8, sq_pad))
+    dq, dk, dv = _backward(qb, kb, vb, ob, dob, lse_b, scale, block_q,
+                           block_kv, kv_len)
+    return (_from_bh(dq, b, h, sq), _from_bh(dk, b, h, kv_len),
+            _from_bh(dv, b, h, kv_len))

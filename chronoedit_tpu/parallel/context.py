@@ -6,12 +6,20 @@ wan2pt1.py:301-353) and, in the DiffSynth stack, xDiT "USP" Ulysses
 all-to-all (wan_video_new_chronoedit.py:330-356).  TPU-native equivalents:
 
 - :func:`ring_attention` — K/V blocks rotate around the ``context`` ring via
-  ``jax.lax.ppermute`` with a numerically-stable online-softmax merge; the
-  python loop is unrolled so XLA overlaps each hop with the previous block's
-  compute over ICI.
+  ``jax.lax.ppermute``. When the head dim is MXU-shaped (D % 128 == 0) each
+  hop runs the Pallas flash kernel (online-softmax tiles, O(block) VMEM) and
+  hops are merged by logsumexp reweighting — so reasoning-mode 720p
+  sequences (28.8k tokens) fit under CP without ever materializing a score
+  block. Exact gradients come from a custom VJP that re-rotates K/V and
+  feeds the *global* logsumexp to the flash backward kernels per hop
+  (p = exp(q·k_hop - lse_global) is the globally-normalized probability
+  block, so per-hop dq sums locally and dk/dv accumulate in buffers that
+  rotate home with the ring). Small/odd head dims fall back to an exact
+  dense per-hop merge.
 - :func:`ulysses_attention` — two ``all_to_all`` reshards (seq <-> heads):
-  each device attends over the full sequence for heads/C heads.  Usually the
-  better choice on ICI for moderate head counts.
+  each device attends over the full sequence for heads/C heads, through the
+  normal attention dispatch (Pallas flash on TPU). Usually the better
+  choice on ICI for moderate head counts.
 
 Both are exposed as "inner" functions (for use inside an existing
 ``jax.shard_map``) and as self-contained wrappers.
@@ -28,17 +36,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from chronoedit_tpu.parallel.mesh import AXIS_CONTEXT
 
 
-# ------------------------------------------------------------------ inner
+def _ring_perm(axis_size: int):
+    return [(i, (i + 1) % axis_size) for i in range(axis_size)]
 
-def ring_attention_inner(
+
+# ------------------------------------------------------------ dense ring
+
+def ring_attention_dense_inner(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     axis_name: str, axis_size: int, scale: float | None = None,
 ) -> jnp.ndarray:
-    """Ring attention on sequence-sharded q/k/v (B, S_local, H, D).
+    """Dense-per-hop ring attention on sequence-sharded q/k/v (B,S_loc,H,D).
 
-    Each of ``axis_size`` steps attends q against the currently-held K/V
-    block, then rotates K/V to the next ring neighbor. Online-softmax carry
-    (acc, row-max, row-sum) makes the result exact.
+    Materializes one (B, S_loc, H, S_blk) fp32 score block per hop — exact
+    and autodiff-friendly, but only viable at small sizes (tests, odd head
+    dims). Production sizes use :func:`ring_flash_attention_inner`.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -49,7 +61,7 @@ def ring_attention_inner(
     m = jnp.full((b, s, h, 1), -jnp.inf, jnp.float32)
     l = jnp.zeros((b, s, h, 1), jnp.float32)
     k_cur, v_cur = k, v
-    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    perm = _ring_perm(axis_size)
 
     for step in range(axis_size):
         s_blk = jnp.einsum("bqhd,bkhd->bqhk", qf, k_cur.astype(jnp.float32),
@@ -68,6 +80,109 @@ def ring_attention_inner(
     return (acc / l).astype(q.dtype)
 
 
+# ------------------------------------------------------------ flash ring
+
+def _ring_flash_fwd_loop(q, k, v, axis_name, axis_size, scale):
+    """axis_size flash hops merged by logsumexp reweighting.
+
+    Per hop i the kernel returns a *normalized* block output o_i and its
+    logsumexp lse_i; the exact total is sum_i exp(lse_i - lse_total) * o_i.
+    The python loop is unrolled so XLA overlaps each ppermute hop with the
+    previous block's kernel over ICI (TE ring P2P equivalent,
+    wan2pt1.py:301-353).
+    """
+    from chronoedit_tpu.ops.flash_attention import flash_attention_with_lse
+
+    perm = _ring_perm(axis_size)
+    k_cur, v_cur = k, v
+    out_f = lse_acc = None
+    for step in range(axis_size):
+        o_i, lse_i = flash_attention_with_lse(q, k_cur, v_cur, scale)
+        if step == 0:
+            out_f = o_i.astype(jnp.float32)
+            lse_acc = lse_i
+        else:
+            lse_new = jnp.logaddexp(lse_acc, lse_i)
+            out_f = (out_f * jnp.exp(lse_acc - lse_new)[..., None]
+                     + o_i.astype(jnp.float32)
+                     * jnp.exp(lse_i - lse_new)[..., None])
+            lse_acc = lse_new
+        if step != axis_size - 1:
+            k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+            v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+    return out_f.astype(q.dtype), lse_acc
+
+
+@functools.lru_cache(maxsize=None)
+def _make_ring_flash(axis_name: str, axis_size: int, scale: float):
+    @jax.custom_vjp
+    def ring(q, k, v):
+        out, _ = _ring_flash_fwd_loop(q, k, v, axis_name, axis_size, scale)
+        return out
+
+    def fwd(q, k, v):
+        out, lse = _ring_flash_fwd_loop(q, k, v, axis_name, axis_size, scale)
+        return out, (q, k, v, out, lse)
+
+    def bwd(res, g):
+        from chronoedit_tpu.ops.flash_attention import flash_attention_bwd
+
+        q, k, v, out, lse = res
+        perm = _ring_perm(axis_size)
+        k_cur, v_cur = k, v
+        dq = jnp.zeros(q.shape, jnp.float32)
+        # dk/dv accumulate in fp32 buffers that rotate *with* their K/V
+        # block: at hop t device i holds block (i-t) mod n and adds its
+        # local contribution to it; after the final extra rotation each
+        # buffer lands back on the block's owner.
+        dk_rot = jnp.zeros(k.shape, jnp.float32)
+        dv_rot = jnp.zeros(v.shape, jnp.float32)
+        for step in range(axis_size):
+            dq_h, dk_h, dv_h = flash_attention_bwd(
+                q, k_cur, v_cur, out, g, lse, scale)
+            dq = dq + dq_h.astype(jnp.float32)
+            dk_rot = dk_rot + dk_h.astype(jnp.float32)
+            dv_rot = dv_rot + dv_h.astype(jnp.float32)
+            if step != axis_size - 1:
+                k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+                v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+                dk_rot = jax.lax.ppermute(dk_rot, axis_name, perm)
+                dv_rot = jax.lax.ppermute(dv_rot, axis_name, perm)
+        dk_rot = jax.lax.ppermute(dk_rot, axis_name, perm)
+        dv_rot = jax.lax.ppermute(dv_rot, axis_name, perm)
+        return (dq.astype(q.dtype), dk_rot.astype(k.dtype),
+                dv_rot.astype(v.dtype))
+
+    ring.defvjp(fwd, bwd)
+    return ring
+
+
+def ring_flash_attention_inner(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    axis_name: str, axis_size: int, scale: float | None = None,
+) -> jnp.ndarray:
+    """Flash-kernel ring attention (Pallas hops + exact custom VJP)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _make_ring_flash(axis_name, axis_size, float(scale))(q, k, v)
+
+
+def ring_attention_inner(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    axis_name: str, axis_size: int, scale: float | None = None,
+) -> jnp.ndarray:
+    """Ring attention on sequence-sharded q/k/v (B, S_local, H, D).
+
+    Dispatches to the Pallas flash ring when the head dim is MXU-shaped,
+    else the exact dense-per-hop merge.
+    """
+    if q.shape[-1] % 128 == 0:
+        return ring_flash_attention_inner(q, k, v, axis_name, axis_size, scale)
+    return ring_attention_dense_inner(q, k, v, axis_name, axis_size, scale)
+
+
+# ------------------------------------------------------------ ulysses
+
 def ulysses_attention_inner(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     axis_name: str, axis_size: int, scale: float | None = None,
@@ -75,8 +190,9 @@ def ulysses_attention_inner(
 ) -> jnp.ndarray:
     """Ulysses attention on sequence-sharded q/k/v (B, S_local, H, D).
 
-    all_to_all reshards seq->heads, runs dense local attention over the full
-    sequence with H/axis_size heads, then reshards back.
+    all_to_all reshards seq->heads, runs local attention over the full
+    sequence with H/axis_size heads (Pallas flash on TPU via the normal
+    dispatch), then reshards back.
     """
     from chronoedit_tpu.ops.attention import dot_product_attention
 
@@ -100,8 +216,11 @@ def _wrap(inner, q, k, v, mesh: Mesh, scale=None, axis: str = AXIS_CONTEXT):
     axis_size = mesh.shape[axis]
     spec = P(None, axis, None, None)
 
+    # check_vma=False: Pallas calls inside the body can't declare how their
+    # outputs vary across mesh axes, so the vma checker rejects them.
     @functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
+        jax.shard_map, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
     )
     def run(qi, ki, vi):
         return inner(qi, ki, vi, axis, axis_size, scale)

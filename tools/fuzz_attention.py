@@ -14,6 +14,7 @@ cases = [
     (3, 1000, 4, 128, 333),  # sq > block, partial blocks everywhere
     (1, 7200, 2, 128, 7200), # edit seq (bf16: the production dtype)
     (2, 129, 2, 256, 130),   # D=256
+    (1, 28800, 1, 128, 28800), # reasoning seq: KV too big for VMEM -> streamed
 ]
 for (b, sq, h, d, kv) in cases:
     dt = jnp.bfloat16 if sq * kv > 2_000_000 else jnp.float32

@@ -166,7 +166,22 @@ def make_train_step(dit_cfg: dit_lib.DiTConfig, cfg: TrainConfig,
         gnorm = optax.global_norm(grads)
         ema_params = state.ema_params
         if ema_params is not None:
-            ema_params = ema_update(ema_params, params, state.step, cfg.ema)
+            # EMA moves only on *applied* optimizer steps (micro-steps leave
+            # params unchanged), and the power-EMA schedule counts applied
+            # steps — lerping every micro-step would distort the effective
+            # beta vs the reference (wan_t2v_model.py:1003-1017).
+            if cfg.grad_accum > 1:
+                applied = opt_state.mini_step == 0
+                applied_count = opt_state.gradient_step - 1
+            else:
+                applied = jnp.bool_(True)
+                applied_count = state.step
+            ema_params = jax.lax.cond(
+                applied,
+                lambda e: ema_update(e, params, applied_count, cfg.ema),
+                lambda e: e,
+                ema_params,
+            )
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state, ema_params=ema_params)
         metrics = {"loss": loss, "grad_norm": gnorm}

@@ -25,7 +25,6 @@ from chronoedit_tpu.train.train_step import TrainConfig, TrainState, make_train_
 @dataclasses.dataclass(frozen=True)
 class TrainerConfig:
     max_iter: int = 1000
-    grad_accum: int = 1
     save_every: int = 500
     validate_every: int = 0  # 0 = off
     validate_batches: int = 4
@@ -112,14 +111,19 @@ class Trainer:
             if self.cfg.profile_start == it:
                 jax.profiler.start_trace(self.cfg.profile_dir)
 
-            # gradient accumulation: average metrics over micro-batches
+            # gradient accumulation: the single knob is
+            # TrainConfig.grad_accum — the same value drives the
+            # optax.MultiSteps wrapper inside the step (which applies the
+            # optimizer every k-th micro-batch) and this micro-batch loop.
+            # Metrics are averaged over the micro-batches of one iteration.
+            grad_accum = self.train_cfg.grad_accum
             accum_metrics = []
-            for _ in range(self.cfg.grad_accum):
+            for _ in range(grad_accum):
                 key, sub = jax.random.split(key)
                 batch = next(data)
                 state, metrics = self._step_fn(state, batch, sub)
                 accum_metrics.append(metrics)
-            if self.cfg.grad_accum > 1:
+            if grad_accum > 1:
                 metrics = jax.tree_util.tree_map(
                     lambda *xs: sum(xs) / len(xs), *accum_metrics)
 

@@ -82,7 +82,6 @@ def main():
     train_cfg = TrainConfig(lr=args.lr, grad_accum=args.grad_accum,
                             warmup_steps=min(1000, max(1, args.max_iter // 10)))
     trainer_cfg = TrainerConfig(max_iter=args.max_iter,
-                                grad_accum=args.grad_accum,
                                 save_every=args.save_every)
 
     if args.dryrun:

@@ -88,3 +88,76 @@ def test_edit_training_batch_shapes():
     # prior path: video[:-1] = 4 frames... not 2k+1; encode still defined for
     # arbitrary length ceil((T-1)/2)+1 frames
     assert lat_p.shape[1] == 4 and cond_p.shape[2] == lat_p.shape[2]
+
+
+def test_grad_accum_matches_big_batch():
+    """accumulate(2) over micro-batches [A, B] must produce exactly one
+    optimizer apply equal to a manual AdamW step on mean(grad_A, grad_B),
+    with EMA moving only on the applied step (VERDICT round-1 weak #4)."""
+    import optax
+    from chronoedit_tpu.train.train_step import make_optimizer, velocity_loss
+
+    _, dit_cfg, params, _, batch = _setup()
+    tcfg = TrainConfig(lr=1e-3, warmup_steps=1, grad_clip=1e9, grad_accum=2)
+    keyA, keyB = jax.random.PRNGKey(10), jax.random.PRNGKey(11)
+    batchA = batch
+    batchB = {k: v + 0.1 for k, v in batch.items()}
+
+    state = make_train_state(params, tcfg)
+    step = make_train_step(dit_cfg, tcfg, donate=False)
+    state1, _ = step(state, batchA, keyA)
+    # micro-step 1: no optimizer apply -> params and EMA unchanged
+    for p0, p1 in zip(jax.tree_util.tree_leaves(state.params),
+                      jax.tree_util.tree_leaves(state1.params)):
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    for e0, e1 in zip(jax.tree_util.tree_leaves(state.ema_params),
+                      jax.tree_util.tree_leaves(state1.ema_params)):
+        np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+
+    state2, _ = step(state1, batchB, keyB)
+
+    # manual: one AdamW step on the mean gradient
+    def grad_of(b, k):
+        return jax.grad(lambda p: velocity_loss(
+            p, dit_cfg, tcfg.rectified_flow, b["latents"], b["condition"],
+            b["text_emb"], b.get("image_emb"), k)[0])(params)
+
+    gA, gB = grad_of(batchA, keyA), grad_of(batchB, keyB)
+    gmean = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, gA, gB)
+    ref_cfg = dataclasses.replace(tcfg, grad_accum=1)
+    opt = make_optimizer(ref_cfg)
+    upd, _ = opt.update(gmean, opt.init(params), params)
+    ref_params = optax.apply_updates(params, upd)
+
+    for got, want in zip(jax.tree_util.tree_leaves(state2.params),
+                         jax.tree_util.tree_leaves(ref_params)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-7)
+    # EMA applied exactly once, with power beta at applied-step count 0
+    # ((1-1/1)^(g+1) = 0 -> EMA == params)
+    for e, p in zip(jax.tree_util.tree_leaves(state2.ema_params),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(e), np.asarray(p), atol=1e-6)
+
+
+def test_grad_accum_ema_counts_applied_steps():
+    """Over two accumulation windows the EMA must equal sequential
+    ema_update calls at applied-step counts 0 and 1 (not micro-steps)."""
+    _, dit_cfg, params, _, batch = _setup()
+    tcfg = TrainConfig(lr=1e-3, warmup_steps=1, grad_clip=1e9, grad_accum=2)
+    state = make_train_state(params, tcfg)
+    step = make_train_step(dit_cfg, tcfg, donate=False)
+
+    params_after = []
+    for i in range(4):
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+        if i % 2 == 1:
+            params_after.append(state.params)
+
+    ema = jax.tree_util.tree_map(jnp.copy, params)
+    for t, p in enumerate(params_after):
+        ema = ema_update(ema, p, jnp.asarray(t), tcfg.ema)
+    for got, want in zip(jax.tree_util.tree_leaves(state.ema_params),
+                         jax.tree_util.tree_leaves(ema)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-7)

@@ -5,16 +5,18 @@ Prints ONE JSON line:
 
 Metric: estimated end-to-end seconds per 720p edit with the 8-step distilled
 LoRA on a v5e-8, derived from single-chip measurements (the harness exposes
-one chip):
+one chip) plus *measured* collective volume:
 
 - DiT per-block latency at full 14B geometry (dim 5120, 40 heads x 128,
-  ffn 13824, CFG-batched 720p edit sequence = 2 x 7200 tokens), measured by
-  timing stacks of L1 and L2 blocks and differencing to cancel embed/head
-  overhead;
+  ffn 13824) for the 720p edit sequence (7200 tokens) and the 29-frame
+  reasoning sequence (28800 tokens), measured by timing stacks of L1 and L3
+  blocks and differencing to cancel embed/head overhead;
 - Wan VAE encode (5x720p frames) + decode (2 latent frames) latency;
-- extrapolation: 8 denoise steps x (40 blocks + overhead), ideal-scaled
-  across 8 chips with a 15% communication penalty (conservative for
-  tensor-parallel psums on ICI), plus VAE cost.
+- multi-chip scaling: the real 40-layer TP=8-sharded forward is compiled
+  over an 8-device virtual mesh (tools/sharded_step_hlo.py) and the
+  collectives XLA actually inserted are summed from the optimized HLO; the
+  communication penalty is derived as wire-bytes / ICI bandwidth instead of
+  being asserted. Same for the H-sharded VAE's halo exchanges.
 
 vs_baseline = (5 s target) / estimate — >1 means faster than the BASELINE.md
 target. The reference publishes no GPU latency numbers (BASELINE.md).
@@ -24,9 +26,10 @@ from __future__ import annotations
 
 import dataclasses
 import json
-import time
-
 import os
+import subprocess
+import sys
+import time
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +43,20 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 N_CHIPS_TARGET = 8
 TARGET_SEC = 5.0
 DENOISE_STEPS = 8  # distilled LoRA
+
+# v5e ICI: 2D torus, ~45 GB/s per link per direction, 2 usable links per
+# ring direction -> ~90 GB/s effective per-chip wire bandwidth (assumption;
+# applied to MEASURED collective bytes from the compiled sharded HLO).
+ICI_BW_PER_CHIP = 90e9
+
+# per-chip wire bytes per buffer byte for ring algorithms over N=8 chips
+_WIRE_FACTOR = {
+    "all-reduce": 2 * 7 / 8,
+    "all-gather": 7 / 8,
+    "reduce-scatter": 7 / 8,
+    "all-to-all": 7 / 8,
+    "collective-permute": 1.0,
+}
 
 
 def _timeit(fn, *args, warmup=2, iters=5):
@@ -66,11 +83,12 @@ def _readback_overhead() -> float:
     return _timeit(f, x, warmup=3, iters=10)
 
 
-def bench_dit_block_ms(batch: int) -> dict:
-    """Per-block DiT latency at 720p edit shapes.
+def bench_dit_block_ms(batch: int, frames: int = 2, iters: int = 5) -> dict:
+    """Per-block DiT latency at 720p shapes.
 
     batch=1 is the 8-step distilled path (guidance 1.0 -> single forward);
-    batch=2 is the CFG-batched base-model path.
+    batch=2 is the CFG-batched base-model path. frames=2 is edit mode,
+    frames=8 the temporal-reasoning sequence (28.8k tokens).
     NOTE: random data, not zeros — the runtime fast-paths all-zero buffers
     and timings collapse to dispatch overhead.
     """
@@ -79,7 +97,8 @@ def bench_dit_block_ms(batch: int) -> dict:
 
     base = chronoedit_14b().dit
     ks = jax.random.split(jax.random.PRNGKey(7), 3)
-    x = jax.random.normal(ks[0], (batch, base.in_channels, 2, 90, 160), jnp.bfloat16)
+    x = jax.random.normal(ks[0], (batch, base.in_channels, frames, 90, 160),
+                          jnp.bfloat16)
     ts = jnp.full((batch,), 500.0, jnp.float32)
     text = jax.random.normal(ks[1], (batch, 512, base.text_dim), jnp.bfloat16)
     img = jax.random.normal(ks[2], (batch, base.image_tokens, base.image_dim),
@@ -94,7 +113,8 @@ def bench_dit_block_ms(batch: int) -> dict:
         def fwd(p, *a, _cfg=cfg):
             return jnp.sum(dit_lib.dit_forward(p, _cfg, *a).astype(jnp.float32))
 
-        times[layers] = _timeit(jax.jit(fwd), params, x, ts, text, img)
+        times[layers] = _timeit(jax.jit(fwd), params, x, ts, text, img,
+                                warmup=2, iters=iters)
         del params
     per_block = (times[3] - times[1]) / 2  # readback constant cancels
     overhead = max(times[1] - per_block - readback, 0.0)
@@ -121,9 +141,10 @@ def bench_vae_s() -> dict:
 
 def bench_e2e_pipeline_s(layers: int = 8) -> dict:
     """Measured end-to-end 8-step distilled edit at 720p on ONE chip with a
-    reduced-depth (but full-width) model that fits one chip (16 layers OOMs at 18 GB with pipeline activations) — captures the
-    scan/solver/pipeline overheads the per-block method misses. The 40-layer
-    estimate scales only the block-loop portion."""
+    reduced-depth (but full-width) model that fits one chip (16 layers OOMs
+    at 18 GB with pipeline activations) — captures the scan/solver/pipeline
+    overheads the per-block method misses. The 40-layer estimate scales only
+    the block-loop portion."""
     import dataclasses as dc
 
     from chronoedit_tpu.configs import chronoedit_14b_distilled
@@ -157,34 +178,78 @@ def bench_e2e_pipeline_s(layers: int = 8) -> dict:
     return {"layers": layers, "measured_s": measured}
 
 
+def measured_collectives(extra_args: list[str]) -> dict | None:
+    """Compile the sharded program on a virtual 8-CPU mesh in a subprocess
+    and return the measured collective bytes from the optimized HLO."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(here, "tools", "sharded_step_hlo.py"),
+             *extra_args],
+            env=env, capture_output=True, text=True, timeout=900, check=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception as e:  # noqa: BLE001 - bench must still print a line
+        print(f"[bench] collective measurement failed: {e}", file=sys.stderr)
+        return None
+
+
+def wire_seconds(report: dict | None) -> float | None:
+    """Per-chip wire time for one forward, from measured collective bytes."""
+    if report is None:
+        return None
+    total = 0.0
+    for op, d in report["per_op"].items():
+        total += _WIRE_FACTOR.get(op, 1.0) * d["bytes"]
+    return total / N_CHIPS_TARGET / ICI_BW_PER_CHIP
+
+
 def main():
     dev = jax.devices()[0]
     dit1 = bench_dit_block_ms(batch=1)  # distilled: guidance 1.0, no CFG
     dit2 = bench_dit_block_ms(batch=2)  # base model: CFG-batched
+    dit_r = bench_dit_block_ms(batch=2, frames=8, iters=2)  # reasoning 28.8k
     vae = bench_vae_s()
     e2e = bench_e2e_pipeline_s()
 
-    comm_penalty = 1.15
-    # VAE is spatially sharded over the mesh (H-axis GSPMD halo exchange;
-    # bit-exact vs unsharded, tests/test_vae_sharded.py) — scale with a
-    # conservative 1.4x halo/comm penalty
-    vae_penalty = 1.4
-    vae_8chip = (vae["encode_s"] + vae["decode_s"]) / N_CHIPS_TARGET * vae_penalty
+    # measured collective volume of the real sharded programs (VERDICT r1:
+    # derive the scaling penalty, don't assert it)
+    hlo_edit = measured_collectives(["--mesh", "tensor=8", "--frames", "2"])
+    hlo_reason = measured_collectives(
+        ["--mesh", "tensor=8", "--frames", "8", "--batch", "2"])
+    hlo_vae = measured_collectives(
+        ["--model", "vae", "--mesh", "tensor=8", "--frames", "2",
+         "--height", "88", "--width", "160"])
 
-    def estimate(dit, steps):
-        step_1chip = 40 * dit["per_block_s"] + dit["overhead_s"]
-        return steps * step_1chip / N_CHIPS_TARGET * comm_penalty + vae_8chip
+    comm_edit = wire_seconds(hlo_edit)
+    comm_reason = wire_seconds(hlo_reason)
+    comm_vae = wire_seconds(hlo_vae) or 0.0
 
-    total = estimate(dit1, DENOISE_STEPS)
-    total_cfg50 = estimate(dit2, 50)
+    vae_1chip = vae["encode_s"] + vae["decode_s"]
+    vae_8chip = vae_1chip / N_CHIPS_TARGET + comm_vae
+
+    def estimate(dit, steps, comm_s):
+        step_compute = (40 * dit["per_block_s"] + dit["overhead_s"]) / N_CHIPS_TARGET
+        if comm_s is None:
+            comm_s = step_compute * 0.15  # fallback: old asserted penalty
+        return steps * (step_compute + comm_s) + vae_8chip
+
+    total = estimate(dit1, DENOISE_STEPS, comm_edit)
+    total_cfg50 = estimate(dit2, 50, comm_edit)
+    total_reason50 = estimate(dit_r, 50, comm_reason)
+
     # measured e2e (1-chip, reduced depth) scaled to 40 layers: non-DiT time
     # is measured directly, block-loop scales by depth
     block_part = DENOISE_STEPS * e2e["layers"] * dit1["per_block_s"]
     e2e_40_1chip = (e2e["measured_s"] - block_part
                     + DENOISE_STEPS * 40 * dit1["per_block_s"])
 
+    def penalty(dit, comm_s):
+        step_compute = (40 * dit["per_block_s"] + dit["overhead_s"]) / N_CHIPS_TARGET
+        return None if comm_s is None else round(1 + comm_s / step_compute, 3)
+
     print(json.dumps({
-        "metric": "estimated sec/edit, 720p, 8-step distilled (guidance 1.0), v5e-8 (extrapolated from 1-chip)",
+        "metric": "estimated sec/edit, 720p, 8-step distilled (guidance 1.0), v5e-8 (1-chip compute + measured TP-8 collective bytes)",
         "value": round(total, 4),
         "unit": "s",
         "vs_baseline": round(TARGET_SEC / total, 3),
@@ -192,14 +257,26 @@ def main():
             "device": str(dev),
             "dit_block_s_1chip_b1": round(dit1["per_block_s"], 5),
             "dit_block_s_1chip_b2_cfg": round(dit2["per_block_s"], 5),
+            "dit_block_s_1chip_b2_reasoning28k": round(dit_r["per_block_s"], 5),
             "est_sec_per_edit_50step_cfg": round(total_cfg50, 3),
+            "est_sec_per_edit_50step_reasoning": round(total_reason50, 3),
             f"e2e_measured_s_1chip_{e2e['layers']}layer": round(e2e["measured_s"], 3),
             "e2e_est_s_1chip_40layer": round(e2e_40_1chip, 3),
             "vae_encode_s": round(vae["encode_s"], 4),
             "vae_decode_s": round(vae["decode_s"], 4),
-            "assumptions": (f"{N_CHIPS_TARGET}-chip scaling: DiT x{comm_penalty} "
-                            f"comm penalty, VAE spatially sharded x{vae_penalty} "
-                            "halo penalty"),
+            "collective_bytes_tp8_edit_fwd": (
+                hlo_edit and hlo_edit["collective_bytes"]),
+            "collective_bytes_tp8_reasoning_fwd": (
+                hlo_reason and hlo_reason["collective_bytes"]),
+            "collective_bytes_vae_decode": (
+                hlo_vae and hlo_vae["collective_bytes"]),
+            "derived_comm_penalty_edit": penalty(dit1, comm_edit),
+            "derived_comm_penalty_reasoning": penalty(dit_r, comm_reason),
+            "assumptions": (
+                f"ICI {ICI_BW_PER_CHIP/1e9:.0f} GB/s per chip applied to "
+                "HLO-measured collective bytes (upper bound: XLA hoists some "
+                "f32 converts before collectives on the CPU-compiled HLO; "
+                "the TPU program keeps them bf16)"),
         },
     }))
 

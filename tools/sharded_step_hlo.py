@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Compile the full-geometry sharded DiT forward on a virtual mesh and report
+the collectives XLA actually inserted (measured bytes, not assumptions).
+
+Grounds bench.py's multi-chip scaling: instead of asserting a communication
+penalty, we compile the real 40-layer TP/FSDP(-CP) sharded denoise forward
+over an N-device virtual CPU mesh, walk the optimized HLO, and sum the bytes
+moved by all-reduce / all-gather / reduce-scatter / collective-permute /
+all-to-all. Collectives inside the scan-over-blocks while body are counted
+once per layer.
+
+Prints one JSON object, e.g.:
+  {"mesh": {...}, "layers": 40, "collective_bytes": 1.2e9,
+   "per_op": {"all-gather": ...}, "flops": ...}
+
+Usage (standalone; bench.py shells out to this under JAX_PLATFORMS=cpu):
+  python tools/sharded_step_hlo.py --mesh tensor=4,context=2 --frames 2
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platform_name", "cpu")
+
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2, "f16": 2,
+    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8,
+}
+
+_COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
+                "collective-permute", "all-to-all")
+
+# a shaped buffer like bf16[2,3600,5120]{2,1,0} or f32[] (scalar)
+_SHAPE_RE = re.compile(r"\b(" + "|".join(_DTYPE_BYTES) + r")\[([0-9,]*)\]")
+
+
+def _shape_bytes(text: str) -> int:
+    """Sum buffer bytes over every shape literal in ``text`` (handles
+    tuple-typed results)."""
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(text):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+def collect_collectives(hlo_text: str, loop_trips: int):
+    """Walk optimized HLO; returns {op: {"count": n, "bytes": b}}.
+
+    Collectives whose ``op_name`` metadata places them inside the
+    scan-over-blocks while loop (``.../while/...``) are multiplied by
+    ``loop_trips`` — the HLO shows the loop body once but it executes once
+    per layer.
+    """
+    per_op: dict[str, dict[str, float]] = {}
+    for line in hlo_text.splitlines():
+        for op in _COLLECTIVES:
+            # match the op as the instruction opcode, not inside metadata
+            if re.search(rf"=\s*(?:\([^=]*?\)|\S+)\s+{op}[(\.]", line):
+                mult = loop_trips if "/while/" in line else 1
+                rhs = line.split("=", 1)[1]
+                result_part = rhs.split(op)[0]
+                b = _shape_bytes(result_part)
+                d = per_op.setdefault(op, {"count": 0, "bytes": 0})
+                d["count"] += mult
+                d["bytes"] += b * mult
+                break
+    return per_op
+
+
+def _vae_report(args, mesh):
+    """Collective bytes of the H-sharded VAE decode (halo exchanges)."""
+    import jax.numpy as jnp
+
+    from chronoedit_tpu.configs import chronoedit_14b
+    from chronoedit_tpu.models import vae as vae_lib
+
+    cfg = chronoedit_14b().vae
+    params_abs = jax.eval_shape(
+        lambda k: vae_lib.init_vae_params(k, cfg), jax.random.PRNGKey(0))
+    # --frames means *latent* frames here; --height/--width are latent dims
+    z = jax.ShapeDtypeStruct((args.batch, cfg.z_dim, args.frames,
+                              args.height, args.width), jnp.bfloat16)
+
+    def dec(p, z):
+        return vae_lib.vae_decode(p, cfg, z, mesh=mesh)
+
+    with mesh:
+        compiled = jax.jit(dec).lower(params_abs, z).compile()
+    hlo = compiled.as_text()
+    if args.dump_hlo:
+        with open(args.dump_hlo, "w") as f:
+            f.write(hlo)
+    per_op = collect_collectives(hlo, 1)
+    total = sum(d["bytes"] for d in per_op.values())
+    print(json.dumps({
+        "mesh": dict(mesh.shape), "model": "vae_decode",
+        "latent_frames": args.frames,
+        "collective_bytes": total, "per_op": per_op,
+    }))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--mesh", default="tensor=4,context=2",
+                    help="comma-separated axis=size (data/fsdp/tensor/context)")
+    ap.add_argument("--frames", type=int, default=2)
+    ap.add_argument("--height", type=int, default=90)
+    ap.add_argument("--width", type=int, default=160)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--layers", type=int, default=40)
+    ap.add_argument("--model", default="dit", choices=("dit", "vae"))
+    ap.add_argument("--dump-hlo", default=None)
+    args = ap.parse_args()
+
+    jax.config.update("jax_num_cpu_devices", args.devices)
+
+    import dataclasses
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from chronoedit_tpu.configs import chronoedit_14b
+    from chronoedit_tpu.models import dit as dit_lib
+    from chronoedit_tpu.parallel import MeshConfig, make_mesh
+    from chronoedit_tpu.parallel.sharding import dit_param_sharding
+
+    spec = dict(kv.split("=") for kv in args.mesh.split(","))
+    mesh_cfg = MeshConfig(**{k: int(v) for k, v in spec.items()})
+    mesh = make_mesh(mesh_cfg)
+
+    if args.model == "vae":
+        _vae_report(args, mesh)
+        return
+
+    cfg = dataclasses.replace(chronoedit_14b().dit, num_layers=args.layers,
+                              param_dtype=jnp.bfloat16)
+    param_shapes = jax.eval_shape(
+        lambda k: dit_lib.init_dit_params(k, cfg), jax.random.PRNGKey(0))
+    spec_fn = dit_param_sharding(mesh)
+    params_abs = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: jax.ShapeDtypeStruct(
+            leaf.shape, leaf.dtype, sharding=spec_fn(path, leaf)),
+        param_shapes)
+
+    b, t, h, w = args.batch, args.frames, args.height, args.width
+    repl = NamedSharding(mesh, P())
+    x_spec = P(None, None, "context", None, None) if mesh.shape["context"] > 1 else P()
+    x = jax.ShapeDtypeStruct((b, cfg.in_channels, t, h, w), jnp.bfloat16,
+                             sharding=NamedSharding(mesh, x_spec))
+    ts = jax.ShapeDtypeStruct((b,), jnp.float32, sharding=repl)
+    text = jax.ShapeDtypeStruct((b, 512, cfg.text_dim), jnp.bfloat16, sharding=repl)
+    img = jax.ShapeDtypeStruct((b, cfg.image_tokens, cfg.image_dim),
+                               jnp.bfloat16, sharding=repl)
+
+    def fwd(p, x, ts, text, img):
+        return dit_lib.dit_forward(p, cfg, x, ts, text, img, mesh=mesh)
+
+    with mesh:
+        lowered = jax.jit(fwd).lower(params_abs, x, ts, text, img)
+        compiled = lowered.compile()
+    hlo = compiled.as_text()
+    if args.dump_hlo:
+        with open(args.dump_hlo, "w") as f:
+            f.write(hlo)
+
+    per_op = collect_collectives(hlo, args.layers)
+    total = sum(d["bytes"] for d in per_op.values())
+    try:
+        cost = compiled.cost_analysis()
+        flops = float(cost.get("flops", float("nan")))
+    except Exception:
+        flops = float("nan")
+
+    print(json.dumps({
+        "mesh": dict(mesh.shape),
+        "layers": args.layers,
+        "tokens": b * t * (h // 2) * (w // 2),
+        "collective_bytes": total,
+        "per_op": per_op,
+        "flops": None if math.isnan(flops) else flops,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -10,8 +10,22 @@ from chronoedit_tpu.parallel.context import (
     split_sequence,
     gather_sequence,
 )
+from chronoedit_tpu.parallel.distributed import (
+    init_distributed,
+    host_local_to_global,
+    is_primary,
+    local_batch_size,
+    process_count,
+    process_index,
+)
 
 __all__ = [
+    "init_distributed",
+    "host_local_to_global",
+    "is_primary",
+    "local_batch_size",
+    "process_count",
+    "process_index",
     "MeshConfig",
     "make_mesh",
     "dit_param_sharding",

@@ -63,6 +63,14 @@ def main():
 
     import jax
 
+    # multi-host: a no-op unless JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/
+    # JAX_PROCESS_ID are exported (or a TPU pod autodetects) — must run
+    # before any other jax call (reference distributed.init(),
+    # _ext/imaginaire/utils/distributed.py:49-82)
+    from chronoedit_tpu.parallel import init_distributed, is_primary
+
+    multihost = init_distributed()
+
     from chronoedit_tpu.configs import get_experiment
     from chronoedit_tpu.data.mock import mock_batch_iterator
     from chronoedit_tpu.models import dit as dit_lib
@@ -115,17 +123,30 @@ def main():
 
         ds = EditDataset(args.base_path, args.data)
         data = iter(PrefetchLoader(
-            _edit_batches(ds, vae_params, pipe_cfg, args.batch_size)))
+            _edit_batches(ds, vae_params, pipe_cfg, args.batch_size,
+                          rank=jax.process_index(),
+                          world=jax.process_count())))
+
+    if multihost and mesh is not None:
+        # each process feeds its local rows; assemble global jax.Arrays
+        # (batch_size is per-process)
+        from chronoedit_tpu.parallel import host_local_to_global
+
+        data = (host_local_to_global(b, mesh) for b in data)
 
     if args.lora_rank > 0:
         _train_lora(args, pipe_cfg, dit_cfg, train_cfg, params, data)
         return
 
-    callbacks = [IterSpeedCallback(log_every=10 if args.smoke else 50),
-                 HeartbeatCallback(path=os.path.join(
-                     args.checkpoint_dir or ".", "heartbeat.txt"))]
-    if args.log_file:
-        callbacks.append(LossLoggerCallback(args.log_file))
+    # host-side observability is rank-0-only (the reference's rank0 filter,
+    # utils/log.py); Orbax checkpointing itself is collective on all hosts
+    callbacks = []
+    if is_primary():
+        callbacks = [IterSpeedCallback(log_every=10 if args.smoke else 50),
+                     HeartbeatCallback(path=os.path.join(
+                         args.checkpoint_dir or ".", "heartbeat.txt"))]
+        if args.log_file:
+            callbacks.append(LossLoggerCallback(args.log_file))
 
     ckpt_cfg = (CheckpointConfig(directory=args.checkpoint_dir,
                                  save_interval=args.save_every)
@@ -178,7 +199,7 @@ def _train_lora(args, pipe_cfg, dit_cfg, train_cfg, base_params, data):
     print(f"saved LoRA -> {out} ({len(sd_out)} tensors)")
 
 
-def _edit_batches(ds, vae_params, pipe_cfg, batch_size):
+def _edit_batches(ds, vae_params, pipe_cfg, batch_size, rank=0, world=1):
     import itertools
 
     import jax.numpy as jnp
@@ -186,7 +207,8 @@ def _edit_batches(ds, vae_params, pipe_cfg, batch_size):
 
     from chronoedit_tpu.train.train_step import edit_training_batch
 
-    idx = itertools.cycle(range(len(ds)))
+    # strided per-process sharding (webdataset distributor semantics)
+    idx = itertools.cycle(range(rank % max(len(ds), 1), len(ds), world))
     while True:
         items = [ds[next(idx)] for _ in range(batch_size)]
         video = jnp.asarray(np.stack([it["video"] for it in items]))

@@ -92,8 +92,11 @@ class LossLoggerCallback(Callback):
 
 
 class HeartbeatCallback(Callback):
-    """Periodic liveness timestamp file (HeartBeat callback,
-    heart_beat.py:29-70 — S3 there, local/NFS path here)."""
+    """Periodic liveness timestamp (HeartBeat callback, heart_beat.py:29-70).
+
+    ``path`` is an easy_io URI, so stamps can go to local/NFS paths or an
+    object store (``s3://bucket/job/heartbeat.txt``) exactly like the
+    reference's S3 heartbeats."""
 
     def __init__(self, path: str = "heartbeat.txt", every_s: float = 60.0):
         self.path = path
@@ -104,9 +107,9 @@ class HeartbeatCallback(Callback):
         now = time.time()
         if now - self._last >= self.every_s:
             self._last = now
-            os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-            with open(self.path, "w") as f:
-                f.write(f"{now} step={step}\n")
+            from chronoedit_tpu.utils import easy_io
+
+            easy_io.put(self.path, f"{now} step={step}\n".encode())
 
 
 class DeviceMonitorCallback(Callback):

@@ -2,10 +2,20 @@
 
 The reference routes all file IO through a backend+format dispatch layer
 (``utils/easy_io/``, 4.9k LoC: local/S3/HTTP backends x pickle/json/yaml/
-np/pt handlers). This is the same shape in miniature: ``load``/``dump``
-dispatch on extension, ``get``/``put`` move bytes, backends register by URI
-scheme. Local filesystem ships; object-store backends plug in via
-:func:`register_backend` (zero-egress environments stage files locally).
+np/pt handlers; S3 boto3 backends easy_io.py:166-1085). Same shape here:
+``load``/``dump`` dispatch on extension, ``get``/``put`` move bytes,
+backends register by URI scheme.
+
+Shipped backends:
+- ``file`` — local filesystem (default for bare paths).
+- ``http``/``https`` — urllib reads (writes raise; the reference's HTTP
+  backend is read-only too).
+- ``s3`` — boto3 (lazy import; optional dependency). For tests and
+  zero-egress environments, inject any client implementing
+  get_object/put_object/head_object/list_objects_v2 via
+  :func:`set_s3_client` (tests use an in-memory fake).
+
+Custom backends plug in via :func:`register_backend`.
 """
 
 from __future__ import annotations
@@ -17,27 +27,169 @@ from typing import Any, Callable
 
 import numpy as np
 
-# scheme -> (reader(path)->bytes, writer(path, bytes))
-_BACKENDS: dict[str, tuple[Callable, Callable]] = {}
+
+class Backend:
+    """Byte-level backend for one URI scheme."""
+
+    def get(self, path: str) -> bytes:
+        raise NotImplementedError
+
+    def put(self, path: str, data: bytes) -> None:
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        try:
+            self.get(path)
+            return True
+        except Exception:
+            return False
+
+    def list(self, path: str) -> list[str]:
+        raise NotImplementedError(f"{type(self).__name__} cannot list")
 
 
-def register_backend(scheme: str, reader: Callable[[str], bytes],
-                     writer: Callable[[str, bytes], None]):
-    _BACKENDS[scheme] = (reader, writer)
+_BACKENDS: dict[str, Backend] = {}
 
 
-def _local_get(path: str) -> bytes:
-    with open(path, "rb") as f:
-        return f.read()
+class _FnBackend(Backend):
+    def __init__(self, reader, writer):
+        self._reader, self._writer = reader, writer
+
+    def get(self, path):
+        return self._reader(path)
+
+    def put(self, path, data):
+        return self._writer(path, data)
 
 
-def _local_put(path: str, data: bytes):
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(data)
+def register_backend(scheme: str, reader=None, writer=None, *,
+                     backend: Backend | None = None):
+    """Register a scheme. Either a :class:`Backend`, or (reader, writer)
+    callables for byte get/put (the round-1 API, kept compatible)."""
+    _BACKENDS[scheme] = backend if backend is not None else _FnBackend(reader, writer)
 
 
-register_backend("file", _local_get, _local_put)
+class LocalBackend(Backend):
+    def get(self, path):
+        with open(path, "rb") as f:
+            return f.read()
+
+    def put(self, path, data):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(data)
+
+    def exists(self, path):
+        return os.path.exists(path)
+
+    def list(self, path):
+        return sorted(os.listdir(path))
+
+
+class HTTPBackend(Backend):
+    """Read-only HTTP(S) (reference HTTPBackend, easy_io backends)."""
+
+    def __init__(self, scheme: str = "https", timeout: float = 60.0):
+        self.scheme = scheme
+        self.timeout = timeout
+
+    def get(self, path):
+        from urllib.request import urlopen
+
+        with urlopen(f"{self.scheme}://{path}", timeout=self.timeout) as r:
+            return r.read()
+
+    def put(self, path, data):
+        raise NotImplementedError("HTTP backend is read-only")
+
+
+class S3Backend(Backend):
+    """S3 object store via boto3 (optional dep; reference S3 backends,
+    easy_io.py:166-1085 + checkpointer/s3_filesystem.py:48-322).
+
+    Paths are ``bucket/key``. Retries with exponential backoff on get/put
+    (the reference's retry_with_backoff)."""
+
+    def __init__(self, client=None, retries: int = 3, backoff_s: float = 0.5):
+        self._client = client
+        self.retries = retries
+        self.backoff_s = backoff_s
+
+    @property
+    def client(self):
+        if self._client is None:
+            try:
+                import boto3  # optional dependency
+            except ImportError as e:  # pragma: no cover - env without boto3
+                raise ImportError(
+                    "s3:// URIs need boto3 (pip install boto3) or an "
+                    "injected client via easy_io.set_s3_client()") from e
+            self._client = boto3.client("s3")
+        return self._client
+
+    @staticmethod
+    def _bucket_key(path: str) -> tuple[str, str]:
+        bucket, _, key = path.partition("/")
+        if not bucket or not key:
+            raise ValueError(f"s3 path must be bucket/key, got {path!r}")
+        return bucket, key
+
+    def _retry(self, fn):
+        import time as _time
+
+        err = None
+        for attempt in range(self.retries):
+            try:
+                return fn()
+            except Exception as e:  # noqa: BLE001 - backoff then re-raise
+                err = e
+                _time.sleep(self.backoff_s * 2 ** attempt)
+        raise err
+
+    def get(self, path):
+        bucket, key = self._bucket_key(path)
+        return self._retry(
+            lambda: self.client.get_object(Bucket=bucket, Key=key)["Body"].read())
+
+    def put(self, path, data):
+        bucket, key = self._bucket_key(path)
+        self._retry(
+            lambda: self.client.put_object(Bucket=bucket, Key=key, Body=data))
+
+    def exists(self, path):
+        bucket, key = self._bucket_key(path)
+        try:
+            self.client.head_object(Bucket=bucket, Key=key)
+            return True
+        except Exception:
+            return False
+
+    def list(self, path):
+        bucket, prefix = self._bucket_key(path + "/x")  # allow bare bucket/dir
+        prefix = prefix[:-1]
+        out, token = [], None
+        while True:
+            kw = dict(Bucket=bucket, Prefix=prefix)
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self.client.list_objects_v2(**kw)
+            out += [c["Key"] for c in resp.get("Contents", [])]
+            token = resp.get("NextContinuationToken")
+            if not token:
+                return out
+
+
+_S3 = S3Backend()
+register_backend("file", backend=LocalBackend())
+register_backend("http", backend=HTTPBackend("http"))
+register_backend("https", backend=HTTPBackend("https"))
+register_backend("s3", backend=_S3)
+
+
+def set_s3_client(client) -> None:
+    """Inject an S3 client (boto3 or any object with the same API). Used by
+    tests (in-memory fake) and for custom endpoints/credentials."""
+    _S3._client = client
 
 
 def _split(uri: str) -> tuple[str, str]:
@@ -47,29 +199,33 @@ def _split(uri: str) -> tuple[str, str]:
     return "file", uri
 
 
-def get(uri: str) -> bytes:
+def _backend(uri: str) -> tuple[Backend, str]:
     scheme, path = _split(uri)
     if scheme not in _BACKENDS:
         raise ValueError(f"no backend registered for {scheme}:// URIs")
-    return _BACKENDS[scheme][0](path)
+    return _BACKENDS[scheme], path
+
+
+def get(uri: str) -> bytes:
+    be, path = _backend(uri)
+    return be.get(path)
 
 
 def put(uri: str, data: bytes):
-    scheme, path = _split(uri)
-    if scheme not in _BACKENDS:
-        raise ValueError(f"no backend registered for {scheme}:// URIs")
-    _BACKENDS[scheme][1](path, data)
+    be, path = _backend(uri)
+    be.put(path, data)
 
 
 def exists(uri: str) -> bool:
-    scheme, path = _split(uri)
-    if scheme == "file":
-        return os.path.exists(path)
-    try:
-        get(uri)
-        return True
-    except Exception:
-        return False
+    be, path = _backend(uri)
+    return be.exists(path)
+
+
+def list_dir_or_file(uri: str) -> list[str]:
+    """List directory entries / object keys under a prefix (the reference's
+    easy_io list_dir_or_file)."""
+    be, path = _backend(uri)
+    return be.list(path)
 
 
 # ------------------------------------------------------------- formats

@@ -23,9 +23,7 @@ import numpy as np
 
 
 class ShardDistributor:
-    """Infinite, shuffled shard stream, partitioned across hosts/workers
-    (the aspect-ratio-aware distributors reduce to this per-bucket;
-    distributors/multi_aspect_ratio_v2.py:30-250)."""
+    """Infinite, shuffled shard stream, partitioned across hosts/workers."""
 
     def __init__(self, shards: list[str], world_size: int = 1, rank: int = 0,
                  shuffle: bool = True, seed: int = 0):
@@ -49,6 +47,55 @@ class ShardDistributor:
                 mine = [order[self.rank % len(order)]]
             yield from mine
             epoch += 1
+
+
+class MultiAspectDistributor:
+    """Aspect-ratio-aware shard distributor
+    (distributors/multi_aspect_ratio_v2.py:30-250 equivalent).
+
+    ``shards`` maps each tar path to its aspect label (datasets are
+    homogeneous per shard, as upstream assumes per dataset_id). Ranks are
+    allocated to aspects proportionally to shard counts with at least one
+    rank per aspect (the reference's argmin-discrepancy loop), and each rank
+    then streams only its aspect — so every batch a rank assembles is
+    uniform-aspect and ranks stay in lockstep across epochs.
+    """
+
+    def __init__(self, shards: dict[str, str], world_size: int = 1,
+                 rank: int = 0, shuffle: bool = True, seed: int = 0):
+        if not shards:
+            raise ValueError("no shards")
+        by_aspect: dict[str, list[str]] = {}
+        for path in sorted(shards):
+            by_aspect.setdefault(shards[path], []).append(path)
+        aspects = sorted(by_aspect)
+        if world_size < len(aspects):
+            raise ValueError(
+                f"{world_size} ranks < {len(aspects)} aspect ratios — each "
+                "rank loads exactly one aspect (collation would fail "
+                "otherwise)")
+
+        # proportional allocation, >=1 rank per aspect
+        target = np.array([len(by_aspect[a]) for a in aspects], np.float64)
+        target /= target.sum()
+        alloc = np.ones(len(aspects), np.int64)
+        for _ in range(world_size - len(aspects)):
+            alloc[np.argmin(alloc / alloc.sum() - target)] += 1
+
+        # this rank's aspect + its slot among that aspect's ranks
+        cum = np.cumsum(alloc)
+        aidx = int(np.searchsorted(cum, rank, side="right"))
+        slot = rank - (int(cum[aidx - 1]) if aidx else 0)
+        self.aspect = aspects[aidx]
+        mine = by_aspect[self.aspect]
+        self._inner = ShardDistributor(
+            mine[slot % len(mine)::int(alloc[aidx])] or
+            [mine[slot % len(mine)]],
+            shuffle=shuffle, seed=seed + rank)
+        self.allocation = dict(zip(aspects, alloc.tolist()))
+
+    def __iter__(self) -> Iterator[str]:
+        return iter(self._inner)
 
 
 def tar_samples(shard_stream: Iterable[str]) -> Iterator[dict[str, bytes]]:
@@ -91,11 +138,52 @@ def decode_text(data: bytes) -> str:
     return data.decode("utf-8")
 
 
+def round_to_4k_plus_1(n: int) -> int:
+    """Largest frame count <= n of the form 4k+1 (the VAE's temporal factor;
+    unified_dataset.py LoadVideo rounding)."""
+    return max(1, (max(n, 1) - 1) // 4 * 4 + 1)
+
+
+def decode_video(data: bytes, ext: str = "mp4",
+                 num_frames: int | None = None) -> np.ndarray:
+    """Video bytes -> (3, T, H, W) float32 in [-1, 1], T rounded to 4k+1.
+
+    Decoder registry equivalent of the reference's decord-based
+    video_decoder (_ext/common/datasets/decoders/video_decoder.py):
+    imageio handles the container (gif works via Pillow everywhere; mp4/
+    webm/mov need an ffmpeg/pyav imageio plugin at runtime — the hot
+    path stays identical, only the codec backend differs). ``.frames.npz``
+    members ({"frames": (T,H,W,3) uint8}) bypass codecs entirely.
+    """
+    if ext == "frames.npz":
+        frames = np.load(io.BytesIO(data))["frames"]
+    else:
+        import imageio.v3 as iio
+
+        try:
+            frames = iio.imread(data, extension=f".{ext}")
+        except Exception as e:  # pragma: no cover - codec-less images
+            raise RuntimeError(
+                f"no codec available for .{ext} video members (install an "
+                "imageio ffmpeg/pyav plugin, or repack shards with "
+                ".frames.npz raw-frame members)") from e
+    if frames.ndim == 3:  # single frame
+        frames = frames[None]
+    t = round_to_4k_plus_1(num_frames or frames.shape[0])
+    frames = frames[:t, ..., :3]
+    return frames.transpose(3, 0, 1, 2).astype(np.float32) / 127.5 - 1.0
+
+
 DEFAULT_DECODERS: dict[str, Callable[[bytes], Any]] = {
     "jpg": decode_image, "jpeg": decode_image, "png": decode_image,
     "webp": decode_image,
     "json": decode_json, "txt": decode_text,
     "npy": lambda b: np.load(io.BytesIO(b)),
+    "mp4": lambda b: decode_video(b, "mp4"),
+    "webm": lambda b: decode_video(b, "webm"),
+    "mov": lambda b: decode_video(b, "mov"),
+    "gif": lambda b: decode_video(b, "gif"),
+    "frames.npz": lambda b: decode_video(b, "frames.npz"),
 }
 
 
@@ -129,10 +217,15 @@ class WebDataset:
         for sample in ds:  # {"__key__", "jpg": (3,H,W) float32, "txt": str}
     """
 
-    def __init__(self, shards: list[str], world_size: int = 1, rank: int = 0,
-                 decoders=None, shuffle_size: int = 100,
+    def __init__(self, shards: list[str] | dict[str, str], world_size: int = 1,
+                 rank: int = 0, decoders=None, shuffle_size: int = 100,
                  augment: Callable[[dict], dict] | None = None, seed: int = 0):
-        self.distributor = ShardDistributor(shards, world_size, rank, seed=seed)
+        # dict shards = {tar_path: aspect_label} -> aspect-aware distribution
+        if isinstance(shards, dict):
+            self.distributor = MultiAspectDistributor(
+                shards, world_size, rank, seed=seed)
+        else:
+            self.distributor = ShardDistributor(shards, world_size, rank, seed=seed)
         self.decoders = decoders
         self.shuffle_size = shuffle_size
         self.augment = augment

@@ -136,17 +136,29 @@ class ChronoEditPipeline:
 
     def _shard(self, x):
         """Sequence-shard a (B, C, T, H, W) tensor over the context axis when
-        a mesh is attached (the CP split of broadcast_split_tensor)."""
+        a mesh is attached (the CP split of broadcast_split_tensor).
+
+        The reference splits on the frame axis; a 2-frame edit can't feed a
+        context axis > 2, so when frames don't divide we shard the H token
+        axis instead (the DiT flattens T*H*W — any divisible spatial axis
+        yields the same balanced token split). Only if nothing divides do we
+        replicate, with a warning (round-1 did this silently)."""
         if self.mesh is None or self.mesh.shape.get("context", 1) == 1:
             return x
-        if x.shape[2] % self.mesh.shape["context"] != 0:
-            # CP requires the frame axis to divide evenly (the reference's
-            # broadcast_split_tensor has the same constraint); fall back to
-            # replicated rather than fail
-            return x
+        cp = self.mesh.shape["context"]
         from chronoedit_tpu.parallel.context import split_sequence
 
-        return split_sequence(x, self.mesh, seq_dim=2)
+        if x.shape[2] % cp == 0:
+            return split_sequence(x, self.mesh, seq_dim=2)
+        if x.shape[3] % cp == 0:  # token-axis (H) split for short edits
+            return split_sequence(x, self.mesh, seq_dim=3)
+        import warnings
+
+        warnings.warn(
+            f"context axis {cp} divides neither frames ({x.shape[2]}) nor "
+            f"height ({x.shape[3]}); running replicated — CP gives no "
+            "speedup for this shape", stacklevel=2)
+        return x
 
     def _model_fn(self, dit_params, condition, text_emb, neg_text_emb,
                   image_emb, guidance, slg_layers=()):

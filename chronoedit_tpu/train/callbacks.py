@@ -17,8 +17,10 @@ from typing import Any
 
 class Callback:
     def on_train_start(self, trainer): ...
+    def on_step_start(self, trainer, step: int): ...
     def on_step_end(self, trainer, step: int, metrics: dict[str, Any]): ...
     def on_checkpoint_save(self, trainer, step: int): ...
+    def on_unstable_rewind(self, trainer, step: int, restored_step: int): ...
     def on_train_end(self, trainer): ...
 
 

@@ -31,6 +31,12 @@ class TrainerConfig:
     profile_start: int = -1  # iteration to start a jax.profiler trace, -1=off
     profile_steps: int = 5
     profile_dir: str = "profiles"
+    # non-finite-loss policy: after this many *consecutive* non-finite
+    # losses, rewind to the latest checkpoint (if a checkpointer is
+    # configured) or abort — the reference pairs its unstable-loss counts
+    # (wandb_log.py:59-120) with checkpoint resume; round-1 only counted.
+    # 0 disables the check.
+    nan_abort_after: int = 10
 
 
 class Trainer:
@@ -80,6 +86,19 @@ class Trainer:
             losses.append(float(self._val_fn(state.params, next(val_data), sub)))
         return {"val_loss": sum(losses) / len(losses)}
 
+    def _rewind_or_abort(self, state: TrainState, it: int,
+                         unstable: int) -> TrainState:
+        """Non-finite-loss recovery: restore the latest checkpoint, or abort
+        when there is nothing to rewind to."""
+        if self.checkpoints is not None:
+            restored = self.checkpoints.restore(state)
+            if restored is not None:
+                self.callbacks.on_unstable_rewind(self, it, int(restored.step))
+                return restored
+        raise RuntimeError(
+            f"loss non-finite for {unstable} consecutive steps at iteration "
+            f"{it} and no checkpoint to rewind to")
+
     def train(
         self,
         state: TrainState,
@@ -106,6 +125,7 @@ class Trainer:
         self.callbacks.on_train_start(self)
         start = int(state.step)
         metrics: dict[str, Any] = {}
+        unstable = 0
         for it in range(start, self.cfg.max_iter):
             self.callbacks.on_step_start(self, it)
             if self.cfg.profile_start == it:
@@ -130,6 +150,16 @@ class Trainer:
             if self.cfg.profile_start >= 0 and it == self.cfg.profile_start + self.cfg.profile_steps:
                 jax.profiler.stop_trace()
 
+            finite = True
+            if self.cfg.nan_abort_after > 0:
+                finite = bool(jnp.isfinite(
+                    jnp.asarray(metrics["loss"], jnp.float32)))
+                unstable = 0 if finite else unstable + 1
+                if unstable >= self.cfg.nan_abort_after:
+                    state = self._rewind_or_abort(state, it, unstable)
+                    unstable = 0
+                    continue
+
             if (val_data is not None and self.cfg.validate_every > 0
                     and (it + 1) % self.cfg.validate_every == 0):
                 key, sub = jax.random.split(key)
@@ -137,7 +167,10 @@ class Trainer:
 
             self._last_state = state  # for sampling callbacks
             self.callbacks.on_step_end(self, it, metrics)
-            if self.checkpoints is not None and (it + 1) % self.cfg.save_every == 0:
+            # never persist a state whose loss just went non-finite — a
+            # poisoned checkpoint would defeat the rewind policy
+            if (self.checkpoints is not None and finite
+                    and (it + 1) % self.cfg.save_every == 0):
                 self.checkpoints.save(it + 1, state)
                 self.callbacks.on_checkpoint_save(self, it + 1)
 

@@ -404,21 +404,42 @@ def dit_forward(
         block_fn = jax.checkpoint(dit_block, policy=policy,
                                   static_argnums=(7, 8, 9))
 
-    if layer_mask is None:
-        def body(carry, bp):
-            out = block_fn(bp, carry, text_ctx, img_ctx, t_proj, cos, sin,
-                           hw, cfg, mesh)
-            return out, None
-    else:
-        def body(carry, xs):
-            bp, m = xs
-            out = block_fn(bp, carry, text_ctx, img_ctx, t_proj, cos, sin,
-                           hw, cfg, mesh)
-            out = jnp.where(m > 0.5, out, carry)
-            return out, None
+    if mesh is not None and mesh.shape.get("pipe", 1) > 1:
+        # GPipe over the pipe axis: stacked blocks stage-sharded, batch
+        # microbatched, ppermute handoffs (parallel/pipeline_parallel.py).
+        # Attention inside a stage sees no mesh (stages are shard_mapped).
+        from chronoedit_tpu.parallel.pipeline_parallel import gpipe_scan
 
-    xs = params["blocks"] if layer_mask is None else (params["blocks"], layer_mask)
-    tokens, _ = jax.lax.scan(body, tokens, xs)
+        stacked = (params["blocks"] if layer_mask is None
+                   else (params["blocks"], layer_mask))
+
+        def pp_block(lp, x_cur, ctx):
+            bp, m = lp if layer_mask is not None else (lp, None)
+            t_ctx, i_ctx, tp = ctx
+            out = block_fn(bp, x_cur, t_ctx, i_ctx, tp, cos, sin,
+                           hw, cfg, None)
+            if m is not None:
+                out = jnp.where(m > 0.5, out, x_cur)
+            return out
+
+        tokens = gpipe_scan(pp_block, stacked, tokens,
+                            (text_ctx, img_ctx, t_proj), mesh)
+    else:
+        if layer_mask is None:
+            def body(carry, bp):
+                out = block_fn(bp, carry, text_ctx, img_ctx, t_proj, cos, sin,
+                               hw, cfg, mesh)
+                return out, None
+        else:
+            def body(carry, xs):
+                bp, m = xs
+                out = block_fn(bp, carry, text_ctx, img_ctx, t_proj, cos, sin,
+                               hw, cfg, mesh)
+                out = jnp.where(m > 0.5, out, carry)
+                return out, None
+
+        xs = params["blocks"] if layer_mask is None else (params["blocks"], layer_mask)
+        tokens, _ = jax.lax.scan(body, tokens, xs)
 
     # output head (transformer_chronoedit.py:451-461)
     head = params["head"]

@@ -21,11 +21,14 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
+AXIS_PIPE = "pipe"
 AXIS_DATA = "data"
 AXIS_FSDP = "fsdp"
 AXIS_TENSOR = "tensor"
 AXIS_CONTEXT = "context"
-MESH_AXES = (AXIS_DATA, AXIS_FSDP, AXIS_TENSOR, AXIS_CONTEXT)
+# pipe is outermost: stage handoffs are the lowest-bandwidth traffic, the
+# high-traffic axes (tensor, context) stay innermost == closest on ICI
+MESH_AXES = (AXIS_PIPE, AXIS_DATA, AXIS_FSDP, AXIS_TENSOR, AXIS_CONTEXT)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -36,22 +39,25 @@ class MeshConfig:
     fsdp: int = 1
     tensor: int = 1
     context: int = 1
+    pipe: int = 1
 
-    def resolve(self, num_devices: int) -> tuple[int, int, int, int]:
-        fixed = self.fsdp * self.tensor * self.context
+    def resolve(self, num_devices: int) -> tuple[int, int, int, int, int]:
+        fixed = self.fsdp * self.tensor * self.context * self.pipe
         data = self.data
         if data == -1:
             if num_devices % fixed:
                 raise ValueError(
-                    f"{num_devices} devices not divisible by fsdp*tensor*context={fixed}"
+                    f"{num_devices} devices not divisible by "
+                    f"pipe*fsdp*tensor*context={fixed}"
                 )
             data = num_devices // fixed
         total = data * fixed
         if total != num_devices:
             raise ValueError(
-                f"mesh {data}x{self.fsdp}x{self.tensor}x{self.context} != {num_devices} devices"
+                f"mesh {self.pipe}x{data}x{self.fsdp}x{self.tensor}x"
+                f"{self.context} != {num_devices} devices"
             )
-        return data, self.fsdp, self.tensor, self.context
+        return self.pipe, data, self.fsdp, self.tensor, self.context
 
 
 def make_mesh(config: MeshConfig | None = None, devices=None) -> Mesh:

@@ -1,0 +1,128 @@
+"""GPipe-style pipeline parallelism over the ``pipe`` mesh axis.
+
+The reference only has Megatron PP *plumbing* (trainer.py:86 accepts a
+pipeline size; no network ever uses it). Here PP is implemented for the
+scan-over-stacked-blocks DiT, the TPU-idiomatic way:
+
+- the stacked layer axis of the block params is sharded over ``pipe``
+  (each stage holds ``L / n_stages`` consecutive blocks);
+- the batch is split into microbatches; a single ``lax.scan`` over
+  ``M + S - 1`` ticks runs every stage's local block sub-scan each tick and
+  hands activations to the next stage with ``ppermute`` — XLA overlaps the
+  permute with the next tick's compute over ICI;
+- outputs accumulate on the last stage and are replicated with one psum.
+
+Everything is standard differentiable JAX (scan/ppermute/psum), so the
+backward pass is the reverse pipeline for free, and ``jax.checkpoint``
+remat policies on the block fn apply per stage.
+
+Bubble fraction is the usual (S-1)/(M+S-1); callers pick microbatches
+accordingly (training grad-accum microbatches map 1:1).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from chronoedit_tpu.parallel.mesh import AXIS_PIPE
+
+
+def gpipe_scan(
+    block_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    stacked_params: Any,
+    x: jnp.ndarray,
+    ctx_batch: Any,
+    mesh: Mesh,
+    microbatches: int | None = None,
+    axis: str = AXIS_PIPE,
+) -> jnp.ndarray:
+    """Run a stacked-layer scan as a GPipe pipeline over ``axis``.
+
+    Args:
+      block_fn: ``block_fn(layer_params, x, ctx) -> x`` — one block, where
+        ``layer_params`` is one slice of ``stacked_params`` and ``ctx`` is
+        the (microbatched) shared context pytree.
+      stacked_params: pytree with a leading stacked-layer axis L
+        (L % n_stages == 0); sharded over ``axis`` by this wrapper.
+      x: (B, ...) activations; B % microbatches == 0.
+      ctx_batch: pytree of (B, ...) arrays microbatched along with ``x``
+        (time embeddings, text/image context — anything batch-dependent).
+      mesh: mesh containing ``axis``.
+      microbatches: default min(B, n_stages).
+
+    Returns: (B, ...) outputs, replicated over ``axis``.
+    """
+    n = mesh.shape[axis]
+    if n == 1:
+        def body(carry, lp):
+            return block_fn(lp, carry, ctx_batch), None
+
+        return jax.lax.scan(body, x, stacked_params)[0]
+
+    num_layers = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    if num_layers % n:
+        raise ValueError(
+            f"{num_layers} stacked layers not divisible by {n} pipeline "
+            "stages")
+    b = x.shape[0]
+    m = microbatches or min(b, n)
+    if b % m:
+        raise ValueError(f"batch {b} not divisible by {m} microbatches")
+    mb = b // m
+
+    def split(a):
+        return a.reshape(m, mb, *a.shape[1:])
+
+    xm = split(x)
+    ctxm = jax.tree_util.tree_map(split, ctx_batch)
+
+    # stacked params sharded over the pipe axis; activations/ctx replicated
+    lead_pipe = jax.tree_util.tree_map(
+        lambda a: P(axis, *([None] * (a.ndim - 1))), stacked_params)
+    repl = jax.tree_util.tree_map(lambda a: P(), (xm, ctxm))
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(lead_pipe, repl[0], repl[1]), out_specs=P(),
+        check_vma=False)
+    def run(local_params, xm, ctxm):
+        stage = jax.lax.axis_index(axis)
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        total = m + n - 1
+
+        def local_blocks(x_in, ctx):
+            def body(carry, lp):
+                return block_fn(lp, carry, ctx), None
+
+            return jax.lax.scan(body, x_in, local_params)[0]
+
+        def tick(state, t):
+            # stage s processes microbatch (t - s) at tick t
+            mb_idx = jnp.clip(t - stage, 0, m - 1)
+            x_in = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, mb_idx, 0, False),
+                xm)
+            ctx = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, mb_idx, 0, False),
+                ctxm)
+            x_cur = jnp.where(stage == 0, x_in, state)
+            y = local_blocks(x_cur, ctx)
+            # last stage emits finished microbatches; bubbles emit zeros
+            valid = (stage == n - 1) & (t >= n - 1)
+            out = jnp.where(valid, y, jnp.zeros_like(y))
+            state_next = jax.lax.ppermute(y, axis, perm)
+            return state_next, out
+
+        _, outs = jax.lax.scan(tick, jnp.zeros_like(xm[0]),
+                               jnp.arange(total))
+        outs = outs[n - 1:]  # (M, mb, ...): microbatch i finishes at n-1+i
+        # only the last stage holds real values; psum replicates them
+        return jax.lax.psum(outs, axis)
+
+    out = run(stacked_params, xm, ctxm)
+    return out.reshape(b, *x.shape[1:])

@@ -124,6 +124,7 @@ def velocity_loss(
     text_emb: jnp.ndarray,
     image_emb: jnp.ndarray | None,
     key: jax.Array,
+    mesh=None,
 ) -> tuple[jnp.ndarray, dict]:
     """Time-weighted velocity MSE (wan_t2v_model.py:608-641)."""
     b = latents.shape[0]
@@ -135,7 +136,8 @@ def velocity_loss(
 
     xin = jnp.concatenate([x_t.astype(dit_cfg.dtype),
                            condition.astype(dit_cfg.dtype)], axis=1)
-    v_pred = dit_lib.dit_forward(params, dit_cfg, xin, timesteps, text_emb, image_emb)
+    v_pred = dit_lib.dit_forward(params, dit_cfg, xin, timesteps, text_emb,
+                                 image_emb, mesh=mesh)
 
     err = (v_pred.astype(jnp.float32) - v_target) ** 2
     per_sample = jnp.mean(err.reshape(b, -1), axis=1)
@@ -145,10 +147,13 @@ def velocity_loss(
 
 
 def make_train_step(dit_cfg: dit_lib.DiTConfig, cfg: TrainConfig,
-                    donate: bool = True):
+                    donate: bool = True, mesh=None):
     """Build the jitted train step.
 
     batch = {"latents", "condition", "text_emb", "image_emb"(opt)}.
+    ``mesh`` enables the explicit-kernel parallel paths inside the DiT
+    (ring/ulysses CP, GPipe over a pipe axis); GSPMD sharding works without
+    it.
     """
     opt = make_optimizer(cfg)
 
@@ -157,7 +162,7 @@ def make_train_step(dit_cfg: dit_lib.DiTConfig, cfg: TrainConfig,
             return velocity_loss(
                 p, dit_cfg, cfg.rectified_flow,
                 batch["latents"], batch["condition"], batch["text_emb"],
-                batch.get("image_emb"), key,
+                batch.get("image_emb"), key, mesh=mesh,
             )
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

@@ -242,3 +242,75 @@ class StepTimeoutWatchdog(Callback):
             if dt > self.timeout_s:
                 raise TimeoutError(
                     f"training step {step} took {dt:.0f}s > {self.timeout_s:.0f}s")
+
+
+class StragglerDetector(Callback):
+    """Cross-host straggler detection (StragglerDetectorV2, misc.py:539-620).
+
+    Every ``every_n`` steps, per-host step times are all-gathered across
+    processes and compared: a host whose time exceeds ``rel_threshold`` x
+    the fleet median is a straggler. After ``max_consecutive`` consecutive
+    straggler reports the detector raises (the reference's raise-after-10
+    policy), so the job scheduler can reschedule the slow host. Single
+    process -> trivially never fires.
+
+    ``gather_fn(x: float) -> np.ndarray`` is injectable for tests; the
+    default all-gathers via jax.experimental.multihost_utils.
+    """
+
+    def __init__(self, every_n: int = 50, rel_threshold: float = 1.5,
+                 max_consecutive: int = 10, gather_fn=None, log_fn=print):
+        self.every_n = every_n
+        self.rel_threshold = rel_threshold
+        self.max_consecutive = max_consecutive
+        self.gather_fn = gather_fn or self._default_gather
+        self.log_fn = log_fn
+        self._t = None
+        self._acc = 0.0
+        self._n = 0
+        self._consecutive = 0
+
+    @staticmethod
+    def _default_gather(value: float):
+        import jax
+        import numpy as np
+
+        if jax.process_count() == 1:
+            return np.asarray([value])
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(
+            np.asarray([value], np.float32))).reshape(-1)
+
+    def on_step_start(self, trainer, step):
+        self._t = time.perf_counter()
+
+    def on_step_end(self, trainer, step, metrics):
+        if self._t is None:
+            return
+        self._acc += time.perf_counter() - self._t
+        self._n += 1
+        if step == 0 or step % self.every_n or self._n == 0:
+            return
+        mine = self._acc / self._n
+        self._acc = 0.0
+        self._n = 0
+        times = self.gather_fn(mine)
+        if len(times) < 2:
+            return
+        import numpy as np
+
+        median = float(np.median(times))
+        if median > 0 and mine > self.rel_threshold * median:
+            self._consecutive += 1
+            self.log_fn(
+                f"[straggler] this host {mine*1e3:.0f} ms/step vs fleet "
+                f"median {median*1e3:.0f} ms "
+                f"({self._consecutive}/{self.max_consecutive})")
+            if self._consecutive >= self.max_consecutive:
+                raise RuntimeError(
+                    f"host is a persistent straggler: {mine*1e3:.0f} ms/step "
+                    f"vs median {median*1e3:.0f} ms for "
+                    f"{self._consecutive} consecutive reports")
+        else:
+            self._consecutive = 0

@@ -151,3 +151,42 @@ def test_save_img_or_video(tmp_path):
     assert os.path.exists(path)
     assert to_uint8(img).shape == (8, 8, 3)
     assert to_uint8(np.zeros((3, 2, 4, 4)))[0, 0, 0, 0] == 127
+
+
+def test_straggler_detector_flags_and_raises():
+    import numpy as np
+    import pytest
+
+    from chronoedit_tpu.train.callbacks import StragglerDetector
+
+    logs = []
+    # this host is 2x slower than the other three
+    det = StragglerDetector(every_n=1, rel_threshold=1.5, max_consecutive=3,
+                            gather_fn=lambda v: np.asarray([v, v/2, v/2, v/2]),
+                            log_fn=logs.append)
+    import time as _t
+
+    def run_step(step):
+        det.on_step_start(None, step)
+        _t.sleep(0.002)
+        det.on_step_end(None, step, {})
+
+    run_step(1)
+    run_step(2)
+    assert len(logs) == 2 and "straggler" in logs[0]
+    with pytest.raises(RuntimeError, match="persistent straggler"):
+        run_step(3)
+
+    # healthy fleet never accumulates
+    det2 = StragglerDetector(every_n=1, max_consecutive=2,
+                             gather_fn=lambda v: np.asarray([v, v, v]),
+                             log_fn=logs.append)
+    for s in range(1, 6):
+        det2.on_step_start(None, s)
+        det2.on_step_end(None, s, {})
+    assert det2._consecutive == 0
+
+    # single process: trivially inert
+    det3 = StragglerDetector(every_n=1, gather_fn=lambda v: np.asarray([v]))
+    det3.on_step_start(None, 1)
+    det3.on_step_end(None, 1, {})

@@ -137,13 +137,20 @@ class Blocklist:
 
 class LLMTextGuard:
     """LLM-based prompt safety classifier (the Qwen3Guard slot,
-    qwen3guard/qwen3guard.py:30-84). Requires local HF weights."""
+    qwen3guard/qwen3guard.py:30-84). Loads local HF weights from
+    ``model_path``, or takes pre-built ``tokenizer``/``model`` objects
+    (chat-template + generate API) for tests and custom runtimes."""
 
-    def __init__(self, model_path: str, unsafe_markers: tuple[str, ...] = ("unsafe",)):
-        from transformers import AutoModelForCausalLM, AutoTokenizer
+    def __init__(self, model_path: str | None = None,
+                 unsafe_markers: tuple[str, ...] = ("unsafe",),
+                 tokenizer=None, model=None):
+        if tokenizer is None or model is None:
+            from transformers import AutoModelForCausalLM, AutoTokenizer
 
-        self.tokenizer = AutoTokenizer.from_pretrained(model_path)
-        self.model = AutoModelForCausalLM.from_pretrained(model_path)
+            tokenizer = AutoTokenizer.from_pretrained(model_path)
+            model = AutoModelForCausalLM.from_pretrained(model_path)
+        self.tokenizer = tokenizer
+        self.model = model
         self.unsafe_markers = unsafe_markers
 
     def __call__(self, prompt: str) -> tuple[bool, str]:

@@ -98,11 +98,22 @@ class MultiAspectDistributor:
         return iter(self._inner)
 
 
+def _open_shard(shard: str):
+    """Local paths stream straight off disk; URI shards (s3://, http://)
+    stream through easy_io (the reference's remote-tar path,
+    webdataset + easy_io backends)."""
+    if "://" in shard:
+        from chronoedit_tpu.utils import easy_io
+
+        return io.BytesIO(easy_io.get(shard))
+    return open(shard, "rb")
+
+
 def tar_samples(shard_stream: Iterable[str]) -> Iterator[dict[str, bytes]]:
     """Group tar members into samples by basename key: ``abc.jpg`` +
     ``abc.json`` + ``abc.txt`` -> {"__key__": "abc", "jpg": ..., ...}."""
     for shard in shard_stream:
-        with tarfile.open(shard, "r|*") as tf:
+        with tarfile.open(fileobj=_open_shard(shard), mode="r|*") as tf:
             current_key = None
             sample: dict[str, Any] = {}
             for member in tf:

@@ -190,3 +190,75 @@ def test_straggler_detector_flags_and_raises():
     det3 = StragglerDetector(every_n=1, gather_fn=lambda v: np.asarray([v]))
     det3.on_step_start(None, 1)
     det3.on_step_end(None, 1, {})
+
+
+def test_llm_text_guard_with_real_tiny_model():
+    """LLMTextGuard drives a *real* HF causal LM (randomly initialized tiny
+    GPT-2, no download) end-to-end: chat template -> generate -> verdict
+    parse; marker-based blocking verified with a stubbed decode."""
+    import pytest
+
+    transformers = pytest.importorskip("transformers")
+    from chronoedit_tpu.aux.guardrails import GuardrailBlocked, GuardrailRunner, LLMTextGuard
+
+    cfg = transformers.GPT2Config(vocab_size=64, n_positions=64, n_embd=16,
+                                  n_layer=1, n_head=2)
+    model = transformers.GPT2LMHeadModel(cfg).eval()
+
+    class TinyTok:
+        """Minimal chat-template tokenizer over a fixed vocab."""
+
+        def apply_chat_template(self, msgs, tokenize=False,
+                                add_generation_prompt=True):
+            return " ".join(m["content"] for m in msgs) + " ->"
+
+        def __call__(self, text, return_tensors="pt"):
+            import torch
+
+            ids = torch.tensor([[ord(c) % 64 for c in text[:16]]])
+            return {"input_ids": ids, "attention_mask": torch.ones_like(ids)}
+
+        def decode(self, ids, skip_special_tokens=True):
+            return self._reply
+
+        _reply = "Safe"
+
+    tok = TinyTok()
+    guard = LLMTextGuard(tokenizer=tok, model=model)
+    ok, _ = guard("a nice picture of a cat")
+    assert ok is True  # random model's reply decoded as "Safe"
+
+    tok._reply = "UNSAFE: category S1"
+    blocked, detail = guard("bad prompt")
+    assert blocked is False and "unsafe" in detail
+
+    runner = GuardrailRunner([("llm_guard", guard)])
+    with pytest.raises(GuardrailBlocked):
+        runner.run_text("anything")
+
+
+def test_webdataset_streams_remote_shards(tmp_path):
+    """Tar shards addressed by URI stream through easy_io (fake S3)."""
+    import io
+    import tarfile
+
+    from chronoedit_tpu.data.webdataset import WebDataset
+    from chronoedit_tpu.utils import easy_io
+    from tests.test_easy_io_callbacks import _FakeS3Client
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for i in range(3):
+            data = f'{{"idx": {i}}}'.encode()
+            info = tarfile.TarInfo(f"s{i:04d}.json")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+
+    easy_io.set_s3_client(_FakeS3Client())
+    try:
+        easy_io.put("s3://bkt/shards/000000.tar", buf.getvalue())
+        ds = WebDataset(["s3://bkt/shards/000000.tar"], shuffle_size=1)
+        got = [s["json"]["idx"] for _, s in zip(range(3), iter(ds))]
+        assert got == [0, 1, 2]
+    finally:
+        easy_io.set_s3_client(None)

@@ -66,7 +66,11 @@ class Guardrails:
             self.text.run_text(prompt)
 
     def check_video(self, video):
-        """video: (B, 3, T, H, W) in [-1, 1] (any array type)."""
+        """video: (B, 3, T, H, W) in [-1, 1] (any array type).
+
+        Pulls the decoded video to host and runs checks synchronously; in a
+        serving loop prefer :meth:`check_video_async` so the next edit's
+        device compute overlaps the host-side guardrails."""
         if self.video is None or not self.video.checks:
             return video
         import jax.numpy as jnp
@@ -80,6 +84,20 @@ class Guardrails:
             out.append(frames.astype(np.float32).transpose(3, 0, 1, 2)
                        / 127.5 - 1.0)
         return jnp.asarray(np.stack(out), dtype=video.dtype)
+
+    def check_video_async(self, video):
+        """Serving-path variant: returns a ``concurrent.futures.Future`` of
+        :meth:`check_video` run on a worker thread, so the device->host
+        copy + classifier don't serialize against the next request's
+        denoise (round-1 review flagged the synchronous round-trip)."""
+        import concurrent.futures
+
+        if not hasattr(self, "_pool"):
+            object.__setattr__(  # frozen-safe lazy pool
+                self, "_pool",
+                concurrent.futures.ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="guardrail"))
+        return self._pool.submit(self.check_video, video)
 
 
 # ---------------------------------------------------------------- blocklist

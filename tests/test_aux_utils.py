@@ -262,3 +262,22 @@ def test_webdataset_streams_remote_shards(tmp_path):
         assert got == [0, 1, 2]
     finally:
         easy_io.set_s3_client(None)
+
+
+def test_guardrails_async_video_check():
+    import numpy as np
+
+    from chronoedit_tpu.aux.guardrails import Guardrails, video_guardrail
+
+    seen = []
+
+    def classify(frames):
+        seen.append(frames.shape)
+        return True  # safe
+
+    g = Guardrails(video=video_guardrail(classify_fn=classify))
+    video = np.random.uniform(-1, 1, (1, 3, 2, 8, 8)).astype(np.float32)
+    fut = g.check_video_async(video)
+    out = fut.result(timeout=30)
+    assert np.asarray(out).shape == video.shape
+    assert seen and seen[0] == (2, 8, 8, 3)

@@ -243,28 +243,45 @@ def unipc_step(
 
 
 def run_unipc(
-    model_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    model_fn: Callable[..., jnp.ndarray],
     coeffs: UniPCCoeffs,
     state: UniPCState,
     start: int = 0,
     end: int | None = None,
-) -> UniPCState:
+    aux=None,
+):
     """Scan UniPC over steps [start, end).
 
     ``model_fn(x, timestep_scalar) -> velocity`` is traced exactly once.
     Splitting the loop (e.g. for the temporal-reasoning drop, which changes
     latent shapes mid-trajectory) is just two ``run_unipc`` calls with a
     ``state.truncate`` between them.
+
+    With ``aux`` (any pytree), the model carries solver-loop state — e.g.
+    the Δ-DiT block-delta cache — as
+    ``model_fn(x, t, step_index, aux) -> (velocity, aux)``, and
+    ``(state, aux)`` is returned.
     """
     end = coeffs.num_steps if end is None else end
     rows = coeffs.slice(start, end).stacked()
 
-    def body(st: UniPCState, row: jnp.ndarray) -> tuple[UniPCState, None]:
-        v = model_fn(st.x, row[0])
-        return unipc_step(st, row, v), None
+    if aux is None:
+        def body(st: UniPCState, row: jnp.ndarray):
+            v = model_fn(st.x, row[0])
+            return unipc_step(st, row, v), None
 
-    state, _ = jax.lax.scan(body, state, rows)
-    return state
+        state, _ = jax.lax.scan(body, state, rows)
+        return state
+
+    def body_aux(carry, xs):
+        st, a = carry
+        row, idx = xs
+        v, a = model_fn(st.x, row[0], idx, a)
+        return (unipc_step(st, row, v), a), None
+
+    (state, aux), _ = jax.lax.scan(
+        body_aux, (state, aux), (rows, jnp.arange(start, end)))
+    return state, aux
 
 
 def unipc_sample(

@@ -362,6 +362,9 @@ def dit_forward(
     image_emb: jnp.ndarray | None = None,
     layer_mask: jnp.ndarray | None = None,
     mesh=None,
+    cache_blocks: tuple[int, int] | None = None,
+    cache: jnp.ndarray | None = None,
+    cache_refresh: jnp.ndarray | bool = True,
 ) -> jnp.ndarray:
     """Velocity prediction.
 
@@ -373,9 +376,15 @@ def dit_forward(
       image_emb: (B, 257, image_dim) CLIP penultimate features, or None.
       layer_mask: optional (num_layers,) 0/1 floats; 0 skips a block (SLG
         layer-skip guidance, wan2pt1.py:842-843).
+      cache_blocks/cache/cache_refresh: Δ-DiT-style step cache
+        (arXiv:2406.01125): blocks [a, b) of the stack contribute a token
+        *delta* that changes slowly across adjacent solver steps. On
+        ``cache_refresh`` steps those blocks run and their delta is saved;
+        otherwise the saved delta is added in their place. Returns
+        ``(out, new_cache)`` when active. Exact when refresh is always True.
 
     Returns:
-      (B, C_out, T, H, W) in cfg.dtype.
+      (B, C_out, T, H, W) in cfg.dtype (plus the cache when active).
     """
     b, c, t, h, w = x.shape
     tokens, grid = _patchify(x.astype(cfg.dtype), cfg)
@@ -404,7 +413,41 @@ def dit_forward(
         block_fn = jax.checkpoint(dit_block, policy=policy,
                                   static_argnums=(7, 8, 9))
 
-    if mesh is not None and mesh.shape.get("pipe", 1) > 1:
+    new_cache = None
+    if cache_blocks is not None:
+        if layer_mask is not None or (
+                mesh is not None and mesh.shape.get("pipe", 1) > 1):
+            raise ValueError("cache_blocks is incompatible with SLG layer "
+                             "masks and pipeline parallelism")
+        a, bb = cache_blocks
+        if not (0 <= a <= bb <= cfg.num_layers):
+            raise ValueError(f"cache_blocks {cache_blocks} out of range")
+
+        def seg(lo, hi):
+            return jax.tree_util.tree_map(lambda p: p[lo:hi], params["blocks"])
+
+        def run_seg(tok, stacked):
+            def body(carry, bp):
+                return block_fn(bp, carry, text_ctx, img_ctx, t_proj, cos,
+                                sin, hw, cfg, mesh), None
+
+            return jax.lax.scan(body, tok, stacked)[0]
+
+        tokens = run_seg(tokens, seg(0, a))
+        if cache is None:
+            cache = jnp.zeros_like(tokens)
+
+        def full(tok):
+            out = run_seg(tok, seg(a, bb))
+            return out, (out - tok).astype(tok.dtype)
+
+        def reuse(tok):
+            return tok + cache, cache
+
+        tokens, new_cache = jax.lax.cond(
+            jnp.asarray(cache_refresh, bool), full, reuse, tokens)
+        tokens = run_seg(tokens, seg(bb, cfg.num_layers))
+    elif mesh is not None and mesh.shape.get("pipe", 1) > 1:
         # GPipe over the pipe axis: stacked blocks stage-sharded, batch
         # microbatched, ppermute handoffs (parallel/pipeline_parallel.py).
         # Attention inside a stage sees no mesh (stages are shard_mapped).
@@ -448,4 +491,7 @@ def dit_forward(
     shift, scale = mods[:, :, 0], mods[:, :, 1]
     normed = layer_norm_modulate(tokens, scale, shift, hw, cfg.eps)
     out = L.linear(head["proj"], normed)
-    return _unpatchify(out, grid, cfg)
+    out = _unpatchify(out, grid, cfg)
+    if cache_blocks is not None:
+        return out, new_cache
+    return out

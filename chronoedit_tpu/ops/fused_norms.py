@@ -27,25 +27,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 from chronoedit_tpu.ops import layers as L
 
-_ROW_BLOCK = 256
+_ROW_BLOCK = 128
 
 
-def _supported(x: jnp.ndarray, hw: int, rows: int) -> bool:
+def _pick_rows(n: int, cap: int = _ROW_BLOCK) -> int | None:
+    """Largest divisor of ``n`` that is <= cap and sublane-aligned (mult of
+    8). Production token grids are rarely powers of two (720p: hw = 3600),
+    so a fixed 256 silently fell back to the unfused XLA path — the row
+    block must *divide* the frame size."""
+    for r in range(min(cap, n), 7, -1):
+        if n % r == 0 and r % 8 == 0:
+            return r
+    return None
+
+
+def _supported(x: jnp.ndarray, hw: int, rows: int | None) -> bool:
     if jax.devices()[0].platform != "tpu":
         return False
     b, s, d = x.shape
-    return d % 128 == 0 and hw % rows == 0 and s % hw == 0
+    return rows is not None and d % 128 == 0 and s % hw == 0
 
 
 # ----------------------------------------------------------- ln + modulate
 
 def _lnmod_kernel(x_ref, scale_ref, shift_ref, o_ref, *, eps: float):
+    ti = pl.program_id(1)
     x = x_ref[0].astype(jnp.float32)  # (R, D)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
     xhat = (x - mean) * jax.lax.rsqrt(var + eps)
-    sc = scale_ref[0, 0].astype(jnp.float32)  # (D,)
-    sh = shift_ref[0, 0].astype(jnp.float32)
+    sc = scale_ref[0, ti].astype(jnp.float32)  # (D,)
+    sh = shift_ref[0, ti].astype(jnp.float32)
     o_ref[0] = (xhat * (1.0 + sc) + sh).astype(o_ref.dtype)
 
 
@@ -84,7 +96,7 @@ layer_norm_modulate.defvjp(_lnmod_vjp_fwd, _lnmod_vjp_bwd)
 def _lnmod_fwd_impl(x, scale, shift, hw, eps):
     b, s, d = x.shape
     t = s // hw
-    rows = min(_ROW_BLOCK, hw)
+    rows = _pick_rows(hw)
     if not _supported(x, hw, rows):
         return _lnmod_jnp(x, scale, shift, hw, eps)
 
@@ -96,9 +108,11 @@ def _lnmod_fwd_impl(x, scale, shift, hw, eps):
             pl.BlockSpec((1, rows, d),
                          lambda bi, ti, j: (bi, ti * (hw // rows) + j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, d), lambda bi, ti, j: (bi, ti, 0),
+            # full (T, D) per batch: a (1, 1, D) block would violate the
+            # sublane tiling rule when T > 1; the kernel indexes frame ti
+            pl.BlockSpec((1, t, d), lambda bi, ti, j: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, d), lambda bi, ti, j: (bi, ti, 0),
+            pl.BlockSpec((1, t, d), lambda bi, ti, j: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, rows, d),
@@ -111,9 +125,10 @@ def _lnmod_fwd_impl(x, scale, shift, hw, eps):
 # ----------------------------------------------------------- gated residual
 
 def _gate_kernel(x_ref, delta_ref, gate_ref, o_ref):
+    ti = pl.program_id(1)
     x = x_ref[0].astype(jnp.float32)
     dlt = delta_ref[0].astype(jnp.float32)
-    g = gate_ref[0, 0].astype(jnp.float32)
+    g = gate_ref[0, ti].astype(jnp.float32)
     o_ref[0] = (x + dlt * g).astype(o_ref.dtype)
 
 
@@ -149,7 +164,7 @@ gated_residual.defvjp(_gate_vjp_fwd, _gate_vjp_bwd)
 def _gate_fwd_impl(x, delta, gate, hw):
     b, s, d = x.shape
     t = s // hw
-    rows = min(_ROW_BLOCK, hw)
+    rows = _pick_rows(hw)
     if not _supported(x, hw, rows):
         return _gate_jnp(x, delta, gate, hw)
 
@@ -161,7 +176,7 @@ def _gate_fwd_impl(x, delta, gate, hw):
         _gate_kernel,
         grid=grid,
         in_specs=[row_spec, row_spec,
-                  pl.BlockSpec((1, 1, d), lambda bi, ti, j: (bi, ti, 0),
+                  pl.BlockSpec((1, t, d), lambda bi, ti, j: (bi, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
@@ -198,8 +213,8 @@ rms_norm_fused.defvjp(_rms_vjp_fwd, _rms_vjp_bwd)
 
 def _rms_fwd_impl(params, x, eps):
     b, s, d = x.shape
-    rows = min(_ROW_BLOCK, s)
-    if jax.devices()[0].platform != "tpu" or d % 128 != 0 or s % rows != 0:
+    rows = _pick_rows(s)
+    if jax.devices()[0].platform != "tpu" or d % 128 != 0 or rows is None:
         return L.rms_norm(params, x, eps)
     w = params["scale"].reshape(1, d)
     return pl.pallas_call(

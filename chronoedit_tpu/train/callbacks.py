@@ -314,3 +314,31 @@ class StragglerDetector(Callback):
                     f"{self._consecutive} consecutive reports")
         else:
             self._consecutive = 0
+
+
+class ParamStatsCallback(Callback):
+    """Periodic parameter-magnitude stats (the ModelParamStats callback):
+    global L2 norm plus per-top-level-subtree norms from the live state."""
+
+    def __init__(self, every_n: int = 500, log_fn=print):
+        self.every_n = every_n
+        self.log_fn = log_fn
+
+    def on_step_end(self, trainer, step, metrics):
+        if step == 0 or step % self.every_n:
+            return
+        state = getattr(trainer, "_last_state", None)
+        if state is None:
+            return
+        import jax
+        import jax.numpy as jnp
+
+        def norm(tree):
+            leaves = jax.tree_util.tree_leaves(tree)
+            return float(jnp.sqrt(sum(
+                jnp.sum(jnp.square(l.astype(jnp.float32))) for l in leaves)))
+
+        parts = {k: norm(v) for k, v in state.params.items()} \
+            if isinstance(state.params, dict) else {}
+        self.log_fn(f"[params @ {step}] |θ|={norm(state.params):.3e} " +
+                    " ".join(f"{k}={v:.2e}" for k, v in sorted(parts.items())))

@@ -281,3 +281,26 @@ def test_guardrails_async_video_check():
     out = fut.result(timeout=30)
     assert np.asarray(out).shape == video.shape
     assert seen and seen[0] == (2, 8, 8, 3)
+
+
+def test_param_stats_callback():
+    import jax.numpy as jnp
+
+    from chronoedit_tpu.train.callbacks import ParamStatsCallback
+
+    class FakeState:
+        params = {"a": {"w": jnp.ones((3,))}, "b": {"w": jnp.full((4,), 2.0)}}
+
+    class FakeTrainer:
+        _last_state = FakeState()
+
+    logs = []
+    cb = ParamStatsCallback(every_n=2, log_fn=logs.append)
+    cb.on_step_end(FakeTrainer(), 1, {})
+    assert not logs
+    cb.on_step_end(FakeTrainer(), 2, {})
+    assert logs and "a=" in logs[0] and "b=" in logs[0]
+    import math
+
+    expected = math.sqrt(3 * 1 + 4 * 4)
+    assert f"{expected:.3e}"[:5] in logs[0]

@@ -206,7 +206,8 @@ class FrameSafetyClassifier:
 class FaceBlur:
     """Face-region blur postprocessor (the RetinaFace slot,
     face_blur_filter.py). ``detect_fn(frame) -> [(x0,y0,x1,y1), ...]``; a
-    pixelation blur is applied to each detection."""
+    pixelation blur is applied to each detection. The in-repo detector is
+    ``aux/face_detector.py:make_face_detect_fn`` (RetinaFace-R50 in JAX)."""
 
     def __init__(self, detect_fn: Callable[[np.ndarray], list], block: int = 16):
         self.detect_fn = detect_fn

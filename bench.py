@@ -83,12 +83,14 @@ def _readback_overhead() -> float:
     return _timeit(f, x, warmup=3, iters=10)
 
 
-def bench_dit_block_ms(batch: int, frames: int = 2, iters: int = 5) -> dict:
+def bench_dit_block_ms(batch: int, frames: int = 2, iters: int = 5,
+                       quantize: bool = False) -> dict:
     """Per-block DiT latency at 720p shapes.
 
     batch=1 is the 8-step distilled path (guidance 1.0 -> single forward);
     batch=2 is the CFG-batched base-model path. frames=2 is edit mode,
     frames=8 the temporal-reasoning sequence (28.8k tokens).
+    quantize=True measures the int8 w8a8 serving path (ops/quant.py).
     NOTE: random data, not zeros — the runtime fast-paths all-zero buffers
     and timings collapse to dispatch overhead.
     """
@@ -109,6 +111,10 @@ def bench_dit_block_ms(batch: int, frames: int = 2, iters: int = 5) -> dict:
     for layers in (1, 3):
         cfg = dataclasses.replace(base, num_layers=layers)
         params = dit_lib.init_dit_params(jax.random.PRNGKey(0), cfg)
+        if quantize:
+            from chronoedit_tpu.ops.quant import quantize_dit_params
+
+            params = jax.jit(quantize_dit_params)(params)
 
         def fwd(p, *a, _cfg=cfg):
             return jnp.sum(dit_lib.dit_forward(p, _cfg, *a).astype(jnp.float32))
@@ -207,6 +213,7 @@ def wire_seconds(report: dict | None) -> float | None:
 def main():
     dev = jax.devices()[0]
     dit1 = bench_dit_block_ms(batch=1)  # distilled: guidance 1.0, no CFG
+    dit1_q = bench_dit_block_ms(batch=1, quantize=True)  # int8 serving path
     dit2 = bench_dit_block_ms(batch=2)  # base model: CFG-batched
     dit_r = bench_dit_block_ms(batch=2, frames=8, iters=2)  # reasoning 28.8k
     vae = bench_vae_s()
@@ -235,6 +242,7 @@ def main():
         return steps * (step_compute + comm_s) + vae_8chip
 
     total = estimate(dit1, DENOISE_STEPS, comm_edit)
+    total_int8 = estimate(dit1_q, DENOISE_STEPS, comm_edit)
     total_cfg50 = estimate(dit2, 50, comm_edit)
     total_reason50 = estimate(dit_r, 50, comm_reason)
 
@@ -256,6 +264,8 @@ def main():
         "detail": {
             "device": str(dev),
             "dit_block_s_1chip_b1": round(dit1["per_block_s"], 5),
+            "dit_block_s_1chip_b1_int8": round(dit1_q["per_block_s"], 5),
+            "est_sec_per_edit_int8_serving": round(total_int8, 3),
             "dit_block_s_1chip_b2_cfg": round(dit2["per_block_s"], 5),
             "dit_block_s_1chip_b2_reasoning28k": round(dit_r["per_block_s"], 5),
             "est_sec_per_edit_50step_cfg": round(total_cfg50, 3),

@@ -37,6 +37,10 @@ def linear_init(key, d_in: int, d_out: int, bias: bool = True,
 
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if "kernel_q" in p:  # int8 serving path (ops/quant.py)
+        from chronoedit_tpu.ops.quant import quantized_linear
+
+        return quantized_linear(p, x)
     y = x @ p["kernel"].astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)

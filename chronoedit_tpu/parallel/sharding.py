@@ -66,12 +66,22 @@ def dit_param_sharding(
         in_block = name.startswith("blocks/")
         sub = name.split("blocks/")[-1] if in_block else name
 
+        # int8 leaves (ops/quant.py): kernel_q shards like its float kernel;
+        # a per-out-channel kernel_scale follows the column-split bias rule
+        # (and stays replicated for row-split linears, whose out axis is full)
+        norm = sub
+        if norm.endswith("/kernel_q"):
+            norm = norm[: -len("_q")]
+        is_scale = sub.endswith("/kernel_scale")
+        if is_scale:
+            norm = sub[: -len("_scale")].replace("/kernel", "/bias")
+
         if use_tensor and tp_size > 1 and in_block:
-            if any(sub.endswith(k) for k in _TP_COL):
+            if any(norm.endswith(k) for k in _TP_COL):
                 spec[-1] = AXIS_TENSOR
-            elif any(sub.endswith(k) for k in _TP_COL_BIAS):
+            elif any(norm.endswith(k) for k in _TP_COL_BIAS):
                 spec[-1] = AXIS_TENSOR
-            elif any(sub.endswith(k) for k in _TP_ROW):
+            elif not is_scale and any(norm.endswith(k) for k in _TP_ROW):
                 spec[-2] = AXIS_TENSOR
 
         if use_fsdp and fsdp_size > 1:

@@ -125,6 +125,21 @@ class ChronoEditPipeline:
         self.mesh = mesh
         self._jit_cache: dict = {}
 
+    def quantize(self) -> "ChronoEditPipeline":
+        """Switch the DiT to the int8 w8a8 serving path (ops/quant.py):
+        block projections become int8 with per-channel scales, attention and
+        the conditioning/head edges stay bf16. Re-shard afterwards if a mesh
+        is attached. Returns self."""
+        from chronoedit_tpu.ops.quant import quantize_dit_params
+
+        self.dit_params = quantize_dit_params(self.dit_params)
+        if self.mesh is not None:
+            from chronoedit_tpu.parallel.sharding import shard_params
+
+            self.dit_params = shard_params(self.dit_params, self.mesh)
+        self._jit_cache.clear()
+        return self
+
     # -------------------------------------------------------------- encode
 
     def encode_prompt(self, prompt: str) -> jnp.ndarray:

@@ -201,13 +201,19 @@ def measured_collectives(extra_args: list[str]) -> dict | None:
 
 
 def wire_seconds(report: dict | None) -> float | None:
-    """Per-chip wire time for one forward, from measured collective bytes."""
+    """Per-chip wire time for one forward, from measured collective bytes.
+
+    HLO instruction shapes in the SPMD-partitioned module are *per-device*
+    buffers, so factor x bytes is already the per-chip wire traffic — do NOT
+    divide by the chip count again (round-2 review caught an 8x undercount
+    here). Factors assume 8-wide rings; for smaller groups (e.g. tensor=4)
+    they are a mild upper bound."""
     if report is None:
         return None
     total = 0.0
     for op, d in report["per_op"].items():
         total += _WIRE_FACTOR.get(op, 1.0) * d["bytes"]
-    return total / N_CHIPS_TARGET / ICI_BW_PER_CHIP
+    return total / ICI_BW_PER_CHIP
 
 
 def main():
@@ -220,16 +226,38 @@ def main():
     e2e = bench_e2e_pipeline_s()
 
     # measured collective volume of the real sharded programs (VERDICT r1:
-    # derive the scaling penalty, don't assert it)
-    hlo_edit = measured_collectives(["--mesh", "tensor=8", "--frames", "2"])
-    hlo_reason = measured_collectives(
-        ["--mesh", "tensor=8", "--frames", "8", "--batch", "2"])
-    hlo_vae = measured_collectives(
-        ["--model", "vae", "--mesh", "tensor=8", "--frames", "2",
-         "--height", "88", "--width", "160"])
+    # derive the scaling penalty, don't assert it), over candidate deployment
+    # meshes — the 8-chip estimate uses the cheapest measured layout
+    import concurrent.futures as cf
 
-    comm_edit = wire_seconds(hlo_edit)
-    comm_reason = wire_seconds(hlo_reason)
+    MESHES = ("tensor=8", "tensor=4,context=2", "tensor=2,context=4")
+    jobs = {}
+    with cf.ThreadPoolExecutor(max_workers=4) as pool:
+        for m in MESHES:
+            jobs[("edit", m)] = pool.submit(
+                measured_collectives, ["--mesh", m, "--frames", "2"])
+            jobs[("reason", m)] = pool.submit(
+                measured_collectives,
+                ["--mesh", m, "--frames", "8", "--batch", "2"])
+        jobs[("vae", "tensor=8")] = pool.submit(
+            measured_collectives,
+            ["--model", "vae", "--mesh", "tensor=8", "--frames", "2",
+             "--height", "88", "--width", "160"])
+        results = {k: f.result() for k, f in jobs.items()}
+
+    def best(kind):
+        cands = {m: wire_seconds(results.get((kind, m))) for m in MESHES}
+        cands = {m: s for m, s in cands.items() if s is not None}
+        if not cands:
+            return None, None, {}
+        m = min(cands, key=cands.get)
+        return m, cands[m], {k: round(v, 4) for k, v in cands.items()}
+
+    edit_mesh, comm_edit, edit_cands = best("edit")
+    reason_mesh, comm_reason, reason_cands = best("reason")
+    hlo_edit = results.get(("edit", edit_mesh)) if edit_mesh else None
+    hlo_reason = results.get(("reason", reason_mesh)) if reason_mesh else None
+    hlo_vae = results.get(("vae", "tensor=8"))
     comm_vae = wire_seconds(hlo_vae) or 0.0
 
     vae_1chip = vae["encode_s"] + vae["decode_s"]
@@ -257,7 +285,7 @@ def main():
         return None if comm_s is None else round(1 + comm_s / step_compute, 3)
 
     print(json.dumps({
-        "metric": "estimated sec/edit, 720p, 8-step distilled (guidance 1.0), v5e-8 (1-chip compute + measured TP-8 collective bytes)",
+        "metric": "estimated sec/edit, 720p, 8-step distilled (guidance 1.0), v5e-8 (1-chip compute + measured collective bytes, best deployment mesh)",
         "value": round(total, 4),
         "unit": "s",
         "vs_baseline": round(TARGET_SEC / total, 3),
@@ -274,9 +302,13 @@ def main():
             "e2e_est_s_1chip_40layer": round(e2e_40_1chip, 3),
             "vae_encode_s": round(vae["encode_s"], 4),
             "vae_decode_s": round(vae["decode_s"], 4),
-            "collective_bytes_tp8_edit_fwd": (
+            "edit_mesh": edit_mesh,
+            "reasoning_mesh": reason_mesh,
+            "edit_wire_s_by_mesh": edit_cands,
+            "reasoning_wire_s_by_mesh": reason_cands,
+            "collective_bytes_edit_fwd": (
                 hlo_edit and hlo_edit["collective_bytes"]),
-            "collective_bytes_tp8_reasoning_fwd": (
+            "collective_bytes_reasoning_fwd": (
                 hlo_reason and hlo_reason["collective_bytes"]),
             "collective_bytes_vae_decode": (
                 hlo_vae and hlo_vae["collective_bytes"]),
@@ -284,9 +316,10 @@ def main():
             "derived_comm_penalty_reasoning": penalty(dit_r, comm_reason),
             "assumptions": (
                 f"ICI {ICI_BW_PER_CHIP/1e9:.0f} GB/s per chip applied to "
-                "HLO-measured collective bytes (upper bound: XLA hoists some "
-                "f32 converts before collectives on the CPU-compiled HLO; "
-                "the TPU program keeps them bf16)"),
+                "HLO-measured per-device collective buffer bytes x ring wire "
+                "factors (8-wide; mild upper bound for smaller groups); "
+                "CPU-compiled HLO hoists some f32 converts the TPU program "
+                "keeps bf16, another upper-bound bias"),
         },
     }))
 

@@ -22,9 +22,12 @@ from __future__ import annotations
 import dataclasses
 import os
 import re
+import threading
 from typing import Callable, Iterable
 
 import numpy as np
+
+_POOL_LOCK = threading.Lock()
 
 
 class GuardrailBlocked(Exception):
@@ -92,11 +95,12 @@ class Guardrails:
         denoise (round-1 review flagged the synchronous round-trip)."""
         import concurrent.futures
 
-        if not hasattr(self, "_pool"):
-            object.__setattr__(  # frozen-safe lazy pool
-                self, "_pool",
-                concurrent.futures.ThreadPoolExecutor(
-                    max_workers=1, thread_name_prefix="guardrail"))
+        with _POOL_LOCK:  # two first-callers racing would each build a pool
+            if not hasattr(self, "_pool"):
+                object.__setattr__(  # frozen-safe lazy pool
+                    self, "_pool",
+                    concurrent.futures.ThreadPoolExecutor(
+                        max_workers=1, thread_name_prefix="guardrail"))
         return self._pool.submit(self.check_video, video)
 
 

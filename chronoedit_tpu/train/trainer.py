@@ -123,9 +123,15 @@ class Trainer:
                 f"{self.checkpoints.cfg.directory}/config.json")
 
         self.callbacks.on_train_start(self)
-        start = int(state.step)
+        # state.step counts *micro*-steps (one per _step_fn call); the loop
+        # counts iterations of grad_accum micro-batches each
+        start = int(state.step) // max(self.train_cfg.grad_accum, 1)
         metrics: dict[str, Any] = {}
         unstable = 0
+        # deferred non-finite checks: reading a device loss every step would
+        # force a host sync on the hot path, so losses are buffered (device
+        # scalars, no readback) and checked in batches
+        pending: list[tuple[int, Any]] = []
         for it in range(start, self.cfg.max_iter):
             self.callbacks.on_step_start(self, it)
             if self.cfg.profile_start == it:
@@ -152,13 +158,26 @@ class Trainer:
 
             finite = True
             if self.cfg.nan_abort_after > 0:
-                finite = bool(jnp.isfinite(
-                    jnp.asarray(metrics["loss"], jnp.float32)))
-                unstable = 0 if finite else unstable + 1
-                if unstable >= self.cfg.nan_abort_after:
-                    state = self._rewind_or_abort(state, it, unstable)
-                    unstable = 0
-                    continue
+                pending.append((it, metrics["loss"]))
+                save_due = (self.checkpoints is not None
+                            and (it + 1) % self.cfg.save_every == 0)
+                # flush at the batch boundary, before any save, and at end —
+                # one host sync per nan_abort_after steps instead of per step
+                if (len(pending) >= self.cfg.nan_abort_after or save_due
+                        or it == self.cfg.max_iter - 1):
+                    rewound = False
+                    for pit, loss_dev in pending:
+                        finite = bool(jnp.isfinite(
+                            jnp.asarray(loss_dev, jnp.float32)))
+                        unstable = 0 if finite else unstable + 1
+                        if unstable >= self.cfg.nan_abort_after:
+                            state = self._rewind_or_abort(state, pit, unstable)
+                            unstable = 0
+                            rewound = True
+                            break
+                    pending.clear()
+                    if rewound:
+                        continue
 
             if (val_data is not None and self.cfg.validate_every > 0
                     and (it + 1) % self.cfg.validate_every == 0):

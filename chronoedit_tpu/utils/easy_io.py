@@ -37,6 +37,14 @@ class Backend:
     def put(self, path: str, data: bytes) -> None:
         raise NotImplementedError
 
+    def open(self, path: str):
+        """Sequential read stream (file-like with ``read``). Default
+        buffers the whole object; streaming backends override so
+        multi-GB tar shards never sit in RAM at once."""
+        import io
+
+        return io.BytesIO(self.get(path))
+
     def exists(self, path: str) -> bool:
         try:
             self.get(path)
@@ -85,6 +93,9 @@ class LocalBackend(Backend):
     def list(self, path):
         return sorted(os.listdir(path))
 
+    def open(self, path):
+        return open(path, "rb")
+
 
 class HTTPBackend(Backend):
     """Read-only HTTP(S) (reference HTTPBackend, easy_io backends)."""
@@ -101,6 +112,12 @@ class HTTPBackend(Backend):
 
     def put(self, path, data):
         raise NotImplementedError("HTTP backend is read-only")
+
+    def open(self, path):
+        from urllib.request import urlopen
+
+        # the response object is file-like; the caller owns its lifetime
+        return urlopen(f"{self.scheme}://{path}", timeout=self.timeout)
 
 
 class S3Backend(Backend):
@@ -150,6 +167,13 @@ class S3Backend(Backend):
         bucket, key = self._bucket_key(path)
         return self._retry(
             lambda: self.client.get_object(Bucket=bucket, Key=key)["Body"].read())
+
+    def open(self, path):
+        bucket, key = self._bucket_key(path)
+        # boto3's StreamingBody is file-like; bytes flow as the tar reader
+        # consumes them instead of buffering the whole shard
+        return self._retry(
+            lambda: self.client.get_object(Bucket=bucket, Key=key)["Body"])
 
     def put(self, path, data):
         bucket, key = self._bucket_key(path)
@@ -209,6 +233,13 @@ def _backend(uri: str) -> tuple[Backend, str]:
 def get(uri: str) -> bytes:
     be, path = _backend(uri)
     return be.get(path)
+
+
+def open_stream(uri: str):
+    """Sequential read stream for a URI (local file object, HTTP response,
+    or S3 StreamingBody — whole-object buffering only as a fallback)."""
+    be, path = _backend(uri)
+    return be.open(path)
 
 
 def put(uri: str, data: bytes):

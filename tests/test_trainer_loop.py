@@ -77,6 +77,34 @@ def test_trainer_with_validation_and_resume(tmp_path):
     assert int(state2.step) == 6
 
 
+def test_resume_with_grad_accum(tmp_path):
+    """state.step counts micro-steps; the resume index must divide by
+    grad_accum or a resumed run skips (or entirely misses) its remaining
+    iterations (round-2 review finding)."""
+    dit_cfg = chronoedit_tiny().dit
+    params = dit_lib.init_dit_params(jax.random.PRNGKey(0), dit_cfg)
+    tcfg = TrainConfig(lr=1e-4, warmup_steps=1, grad_accum=2)
+    trainer = Trainer(
+        dit_cfg, tcfg, TrainerConfig(max_iter=3, save_every=3),
+        CheckpointConfig(directory=str(tmp_path / "ck"), async_save=False),
+    )
+    state = trainer.train(trainer.init_state(params), _data(dit_cfg))
+    assert int(state.step) == 6  # 3 iterations x 2 micro-steps
+
+    rec = Recorder()
+    params2 = dit_lib.init_dit_params(jax.random.PRNGKey(0), dit_cfg)
+    trainer2 = Trainer(
+        dit_cfg, tcfg, TrainerConfig(max_iter=5, save_every=10),
+        CheckpointConfig(directory=str(tmp_path / "ck"), async_save=False),
+        callbacks=[rec],
+    )
+    state2 = trainer2.init_state(params2)
+    assert int(state2.step) == 6
+    state2 = trainer2.train(state2, _data(dit_cfg))
+    assert rec.steps == [3, 4]  # resumes at iteration 3, not micro-step 6
+    assert int(state2.step) == 10
+
+
 def _poisoned_data(dit_cfg, nan_from: int):
     """Finite batches until ``nan_from`` yields, then NaN latents forever."""
     import itertools as it

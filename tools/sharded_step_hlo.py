@@ -161,7 +161,17 @@ def main():
 
     b, t, h, w = args.batch, args.frames, args.height, args.width
     repl = NamedSharding(mesh, P())
-    x_spec = P(None, None, "context", None, None) if mesh.shape["context"] > 1 else P()
+    # shard the first latent axis the context size divides (frames -> H -> W),
+    # mirroring pipeline._shard's token-axis fallback for short edits
+    x_spec = P()
+    cp = mesh.shape["context"]
+    if cp > 1:
+        for axis, size in ((2, t), (3, h), (4, w)):
+            if size % cp == 0:
+                spec = [None] * 5
+                spec[axis] = "context"
+                x_spec = P(*spec)
+                break
     x = jax.ShapeDtypeStruct((b, cfg.in_channels, t, h, w), jnp.bfloat16,
                              sharding=NamedSharding(mesh, x_spec))
     ts = jax.ShapeDtypeStruct((b,), jnp.float32, sharding=repl)

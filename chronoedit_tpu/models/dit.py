@@ -209,7 +209,12 @@ def _self_attention(p: Params, x: jnp.ndarray, rope_cos, rope_sin,
     cp_size = mesh.shape.get("context", 1) if mesh is not None else 1
     mode = cfg.context_parallel
     if mode == "auto" and cp_size > 1:
-        mode = "ulysses" if q.shape[2] % cp_size == 0 else "ring"
+        # heads stay tensor-sharded inside the CP shard_map, so ulysses must
+        # split the TP-*local* head count across the context axis
+        tp_size = mesh.shape.get("tensor", 1)
+        h_loc = (q.shape[2] // tp_size if q.shape[2] % tp_size == 0
+                 else q.shape[2])
+        mode = "ulysses" if h_loc % cp_size == 0 else "ring"
     use_cp = (mode in ("ring", "ulysses") and cp_size > 1
               and q.shape[1] % cp_size == 0)
     if use_cp:

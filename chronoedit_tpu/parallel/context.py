@@ -214,7 +214,15 @@ def ulysses_attention_inner(
 
 def _wrap(inner, q, k, v, mesh: Mesh, scale=None, axis: str = AXIS_CONTEXT):
     axis_size = mesh.shape[axis]
-    spec = P(None, axis, None, None)
+    # under tensor parallelism the head axis is already TP-sharded (col-split
+    # qkv projections) — keep it sharded inside the CP shard_map. Speccing
+    # only the context axis would make GSPMD all-gather all heads over
+    # `tensor` around every attention (round-2 HLO audit: 2 full-head f32
+    # all-gathers per block on a tensor=2,context=4 mesh).
+    tp_axis = "tensor" if "tensor" in mesh.shape else None
+    tp = mesh.shape.get(tp_axis, 1) if tp_axis else 1
+    head_axis = tp_axis if (tp > 1 and q.shape[2] % tp == 0) else None
+    spec = P(None, axis, head_axis, None)
 
     # check_vma=False: Pallas calls inside the body can't declare how their
     # outputs vary across mesh axes, so the vma checker rejects them.

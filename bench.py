@@ -230,7 +230,8 @@ def main():
     # meshes — the 8-chip estimate uses the cheapest measured layout
     import concurrent.futures as cf
 
-    MESHES = ("tensor=8", "tensor=4,context=2", "tensor=2,context=4")
+    MESHES = ("tensor=8", "tensor=4,context=2", "tensor=2,context=4",
+              "fsdp=2,context=4")
     jobs = {}
     with cf.ThreadPoolExecutor(max_workers=4) as pool:
         for m in MESHES:

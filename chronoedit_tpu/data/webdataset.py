@@ -142,6 +142,28 @@ def decode_image(data: bytes) -> np.ndarray:
     return np.asarray(img, np.float32).transpose(2, 0, 1) / 127.5 - 1.0
 
 
+def native_jpeg_decoder(target_h: int, target_w: int,
+                        num_threads: int = 0) -> Callable[[bytes], np.ndarray]:
+    """Decoder for ``jpg`` members that decodes + resizes-to-cover +
+    center-crops straight to the training bucket size on the C++ thread pool
+    (``native/image_loader.cpp`` ``ce_decode_jpeg_buffers`` — GIL-free, with
+    DCT-domain downscale). Use when samples go directly to a fixed
+    resolution::
+
+        h, w = VIDEO_RES_SIZE_INFO["720"]["16,9"]
+        ds = WebDataset(shards, decoders={"jpg": native_jpeg_decoder(h, w)})
+
+    Falls back to PIL when the shared library isn't built.
+    """
+    from chronoedit_tpu.data.native_loader import decode_jpeg_buffers
+
+    def decode(data: bytes) -> np.ndarray:
+        return decode_jpeg_buffers([data], target_h, target_w,
+                                   num_threads=num_threads)[0]
+
+    return decode
+
+
 def decode_json(data: bytes) -> Any:
     return json.loads(data.decode("utf-8"))
 

@@ -397,6 +397,19 @@ def dit_forward(
     hw = gh * gw
     tokens = L.linear(params["patch_embed"], tokens)
 
+    # pin the flattened token axis to the context shards: a 5D input sharded
+    # on an inner spatial axis (the pipeline's W fallback for short edits)
+    # strides the token order, and the per-frame modulation reshape then
+    # forces GSPMD to re-gather tokens every block (round-2 HLO audit: one
+    # full-sequence f32 all-gather per layer). Contiguous token blocks
+    # survive both the (B,T,hw,D) reshape and the CP attention shard_map.
+    cp = mesh.shape.get("context", 1) if mesh is not None else 1
+    if cp > 1 and tokens.shape[1] % cp == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        tokens = jax.lax.with_sharding_constraint(
+            tokens, NamedSharding(mesh, P(None, "context", None)))
+
     if timesteps.ndim == 1:
         timesteps = jnp.broadcast_to(timesteps[:, None], (b, gt))
     temb, t_proj, text_ctx, img_ctx = _condition_embeddings(

@@ -119,6 +119,16 @@ class HTTPBackend(Backend):
         # the response object is file-like; the caller owns its lifetime
         return urlopen(f"{self.scheme}://{path}", timeout=self.timeout)
 
+    def exists(self, path):
+        from urllib.request import Request, urlopen
+
+        try:  # HEAD, not a full GET
+            urlopen(Request(f"{self.scheme}://{path}", method="HEAD"),
+                    timeout=self.timeout)
+            return True
+        except Exception:
+            return False
+
 
 class S3Backend(Backend):
     """S3 object store via boto3 (optional dep; reference S3 backends,

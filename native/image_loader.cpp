@@ -40,14 +40,19 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(err->jump, 1);
 }
 
-// Decode a JPEG file to an interleaved RGB8 buffer. When the target is much
-// smaller than the source, decode at reduced resolution via libjpeg's
-// DCT-domain scaling (scale_num/8) — the classic decode-side speed trick.
-// Returns false on error.
-bool decode_jpeg(const char* path, std::vector<unsigned char>& rgb, int& w,
-                 int& h, int target_h, int target_w) {
-  FILE* f = std::fopen(path, "rb");
-  if (!f) return false;
+// Decode a JPEG (file or memory buffer) to an interleaved RGB8 buffer. When
+// the target is much smaller than the source, decode at reduced resolution
+// via libjpeg's DCT-domain scaling (scale_num/8) — the classic decode-side
+// speed trick. Returns false on error.
+bool decode_jpeg_src(bool from_mem, const char* path,
+                     const unsigned char* buf, unsigned long buf_len,
+                     std::vector<unsigned char>& rgb, int& w, int& h,
+                     int target_h, int target_w) {
+  FILE* f = nullptr;
+  if (!from_mem) {
+    f = std::fopen(path, "rb");
+    if (!f) return false;
+  }
 
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
@@ -55,12 +60,16 @@ bool decode_jpeg(const char* path, std::vector<unsigned char>& rgb, int& w,
   jerr.mgr.error_exit = jpeg_err_exit;
   if (setjmp(jerr.jump)) {
     jpeg_destroy_decompress(&cinfo);
-    std::fclose(f);
+    if (f) std::fclose(f);
     return false;
   }
 
   jpeg_create_decompress(&cinfo);
-  jpeg_stdio_src(&cinfo, f);
+  if (from_mem) {
+    jpeg_mem_src(&cinfo, buf, buf_len);
+  } else {
+    jpeg_stdio_src(&cinfo, f);
+  }
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
   if (target_h > 0 && target_w > 0) {
@@ -89,8 +98,14 @@ bool decode_jpeg(const char* path, std::vector<unsigned char>& rgb, int& w,
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
-  std::fclose(f);
+  if (f) std::fclose(f);
   return true;
+}
+
+bool decode_jpeg(const char* path, std::vector<unsigned char>& rgb, int& w,
+                 int& h, int target_h, int target_w) {
+  return decode_jpeg_src(false, path, nullptr, 0, rgb, w, h, target_h,
+                         target_w);
 }
 
 // Separable two-pass bilinear resize-to-cover + center-crop + normalize into
@@ -197,7 +212,45 @@ int ce_decode_jpeg_batch(const char** paths, int n, int target_h, int target_w,
   return failures.load();
 }
 
+// In-memory variant for tar-shard members and other non-file sources
+// (webdataset decode path): same thread pool + resize/crop/normalize, with
+// jpeg_mem_src instead of stdio.
+int ce_decode_jpeg_buffers(const unsigned char** bufs,
+                           const long* sizes, int n, int target_h,
+                           int target_w, float* out, int num_threads) {
+  if (num_threads <= 0) {
+    num_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (num_threads <= 0) num_threads = 4;
+  }
+  std::atomic<int> next(0), failures(0);
+  const size_t stride = static_cast<size_t>(3) * target_h * target_w;
+
+  auto worker = [&]() {
+    std::vector<unsigned char> rgb;
+    std::vector<float> scratch;
+    int w = 0, h = 0;
+    for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+      float* dst = out + stride * i;
+      if (decode_jpeg_src(true, nullptr, bufs[i],
+                          static_cast<unsigned long>(sizes[i]), rgb, w, h,
+                          target_h, target_w)) {
+        resize_crop_normalize(rgb, w, h, target_h, target_w, dst, scratch);
+      } else {
+        std::memset(dst, 0, stride * sizeof(float));
+        failures.fetch_add(1);
+      }
+    }
+  };
+
+  int t = num_threads < n ? num_threads : n;
+  std::vector<std::thread> pool;
+  pool.reserve(t);
+  for (int i = 0; i < t; ++i) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
+
 // Library self-description for the Python wrapper's sanity check.
-int ce_loader_abi_version() { return 1; }
+int ce_loader_abi_version() { return 2; }
 
 }  // extern "C"

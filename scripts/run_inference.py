@@ -41,6 +41,12 @@ def parse_args():
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--mesh", type=str, default=None,
                    help="parallelism spec, e.g. 'tensor=8' or 'fsdp=4,context=2'")
+    p.add_argument("--quantize", action="store_true",
+                   help="int8 w8a8 DiT projections (serving accel, "
+                        "docs/SERVING.md)")
+    p.add_argument("--cache-blocks", type=str, default=None,
+                   help="A:B[:period] — Δ-DiT block cache over blocks [A,B) "
+                        "refreshed every `period` solver steps")
     p.add_argument("--smoke", action="store_true",
                    help="random weights, tiny input — end-to-end smoke test")
     return p.parse_args()
@@ -74,6 +80,18 @@ def build_pipeline(args):
     for spec in args.lora:
         path, _, scale = spec.partition(":")
         attach_lora(pipe, path, float(scale or 1.0))
+
+    if args.cache_blocks:
+        import dataclasses
+
+        parts = [int(x) for x in args.cache_blocks.split(":")]
+        a, b = parts[0], parts[1]
+        period = parts[2] if len(parts) > 2 else 2
+        pipe.config = dataclasses.replace(pipe.config, cache_blocks=(a, b),
+                                          cache_period=period)
+
+    if args.quantize:
+        pipe.quantize()  # re-shards itself when a mesh is attached
 
     if mesh is not None:
         from chronoedit_tpu.parallel import shard_params

@@ -371,6 +371,33 @@ def dit_forward(
     cache: jnp.ndarray | None = None,
     cache_refresh: jnp.ndarray | bool = True,
 ) -> jnp.ndarray:
+    """Velocity prediction — see :func:`_dit_forward_impl` for the full
+    contract.  Multi-device meshes trace the plain-XLA norm implementations
+    (GSPMD cannot auto-partition Mosaic kernels; attention stays fused via
+    its explicit shard_maps)."""
+    args = (params, cfg, x, timesteps, text_emb, image_emb, layer_mask,
+            mesh, cache_blocks, cache, cache_refresh)
+    if mesh is not None and getattr(mesh, "size", 1) > 1:
+        from chronoedit_tpu.ops import fused_norms
+
+        with fused_norms.plain_norms():
+            return _dit_forward_impl(*args)
+    return _dit_forward_impl(*args)
+
+
+def _dit_forward_impl(
+    params: Params,
+    cfg: DiTConfig,
+    x: jnp.ndarray,
+    timesteps: jnp.ndarray,
+    text_emb: jnp.ndarray,
+    image_emb: jnp.ndarray | None = None,
+    layer_mask: jnp.ndarray | None = None,
+    mesh=None,
+    cache_blocks: tuple[int, int] | None = None,
+    cache: jnp.ndarray | None = None,
+    cache_refresh: jnp.ndarray | bool = True,
+) -> jnp.ndarray:
     """Velocity prediction.
 
     Args:

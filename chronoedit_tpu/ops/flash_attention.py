@@ -49,12 +49,10 @@ def _interpret() -> bool:
     return _platform() != "tpu"
 
 
-@functools.cache
 def _platform() -> str:
-    try:
-        return jax.devices()[0].platform
-    except Exception:  # pragma: no cover - no backend at all
-        return "cpu"
+    from chronoedit_tpu.utils.platform import target_platform
+
+    return target_platform()
 
 
 def _pick_blocks(sq: int, kv_len: int, block_q: int, block_kv: int):

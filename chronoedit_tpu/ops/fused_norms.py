@@ -18,6 +18,7 @@ don't support (CPU tests, indivisible grids).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -28,6 +29,25 @@ from jax.experimental.pallas import tpu as pltpu
 from chronoedit_tpu.ops import layers as L
 
 _ROW_BLOCK = 128
+
+# trace-time switch: Mosaic kernels cannot be auto-partitioned by GSPMD, so
+# multi-device programs (dit_forward with a >1-device mesh) must trace the
+# plain jnp implementations instead — XLA fuses those and partitions them
+# freely.  (Caught by the v5e AOT compile of the sharded step; single-chip
+# TPU runs keep the fused kernels.)
+_FUSED_ENABLED = True
+
+
+@contextlib.contextmanager
+def plain_norms():
+    """Trace the plain-XLA norm implementations inside this context."""
+    global _FUSED_ENABLED
+    prev = _FUSED_ENABLED
+    _FUSED_ENABLED = False
+    try:
+        yield
+    finally:
+        _FUSED_ENABLED = prev
 
 
 def _pick_rows(n: int, cap: int = _ROW_BLOCK) -> int | None:
@@ -42,7 +62,9 @@ def _pick_rows(n: int, cap: int = _ROW_BLOCK) -> int | None:
 
 
 def _supported(x: jnp.ndarray, hw: int, rows: int | None) -> bool:
-    if jax.devices()[0].platform != "tpu":
+    from chronoedit_tpu.utils.platform import on_tpu
+
+    if not _FUSED_ENABLED or not on_tpu():
         return False
     b, s, d = x.shape
     return rows is not None and d % 128 == 0 and s % hw == 0
@@ -212,9 +234,11 @@ rms_norm_fused.defvjp(_rms_vjp_fwd, _rms_vjp_bwd)
 
 
 def _rms_fwd_impl(params, x, eps):
+    from chronoedit_tpu.utils.platform import on_tpu
+
     b, s, d = x.shape
     rows = _pick_rows(s)
-    if jax.devices()[0].platform != "tpu" or d % 128 != 0 or rows is None:
+    if not _FUSED_ENABLED or not on_tpu() or d % 128 != 0 or rows is None:
         return L.rms_norm(params, x, eps)
     w = params["scale"].reshape(1, d)
     return pl.pallas_call(

@@ -222,7 +222,15 @@ def _wrap(inner, q, k, v, mesh: Mesh, scale=None, axis: str = AXIS_CONTEXT):
     tp_axis = "tensor" if "tensor" in mesh.shape else None
     tp = mesh.shape.get(tp_axis, 1) if tp_axis else 1
     head_axis = tp_axis if (tp > 1 and q.shape[2] % tp == 0) else None
-    spec = P(None, axis, head_axis, None)
+    # likewise keep the batch dim data/fsdp-sharded (training meshes): an
+    # unspecced batch would make GSPMD all-gather every rank's batch rows
+    # around each attention
+    import math
+
+    batch_axes = tuple(a for a in ("data", "fsdp") if mesh.shape.get(a, 1) > 1)
+    if batch_axes and q.shape[0] % math.prod(mesh.shape[a] for a in batch_axes):
+        batch_axes = ()
+    spec = P(batch_axes if batch_axes else None, axis, head_axis, None)
 
     # check_vma=False: Pallas calls inside the body can't declare how their
     # outputs vary across mesh axes, so the vma checker rejects them.

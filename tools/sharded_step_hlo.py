@@ -13,7 +13,15 @@ Prints one JSON object, e.g.:
   {"mesh": {...}, "layers": 40, "collective_bytes": 1.2e9,
    "per_op": {"all-gather": ...}, "flops": ...}
 
-Usage (standalone; bench.py shells out to this under JAX_PLATFORMS=cpu):
+Backends:
+  --backend tpu-aot (preferred): AOT-compile against a detached v5e topology
+    (jax.experimental.topologies) — the *real* TPU SPMD program, with native
+    bf16 collectives and XLA's TPU cost model. No TPU hardware needed.
+  --backend cpu: compile on a virtual N-device CPU mesh. Upper-bound bias:
+    the CPU backend promotes bf16 compute to f32, so collectives that stay
+    bf16 on TPU are measured at 2x bytes.
+
+Usage (standalone; bench.py shells out to this):
   python tools/sharded_step_hlo.py --mesh tensor=4,context=2 --frames 2
 """
 from __future__ import annotations
@@ -29,6 +37,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+# --backend tpu-aot loads libtpu for topology-only AOT compilation; several
+# measurement processes may do so concurrently (no chip is touched)
+os.environ.setdefault("ALLOW_MULTIPLE_LIBTPU_LOAD", "1")
 
 import jax  # noqa: E402
 
@@ -66,16 +77,34 @@ def collect_collectives(hlo_text: str, loop_trips: int):
     scan-over-blocks while loop (``.../while/...``) are multiplied by
     ``loop_trips`` — the HLO shows the loop body once but it executes once
     per layer.
+
+    TPU HLO emits *async* collectives (``all-gather-start``/``-done``):
+    the ``-start`` op is counted (normalized to the sync name) and the
+    ``-done`` ignored.  An async start's result is a tuple carrying the
+    operand buffer(s) too, so only the final (output) shape is counted.
     """
     per_op: dict[str, dict[str, float]] = {}
     for line in hlo_text.splitlines():
         for op in _COLLECTIVES:
             # match the op as the instruction opcode, not inside metadata
-            if re.search(rf"=\s*(?:\([^=]*?\)|\S+)\s+{op}[(\.]", line):
+            m = re.search(rf"=\s*(?:\([^=]*?\)|\S+)\s+{op}(-start|-done)?[(\.]",
+                          line)
+            if m:
+                if m.group(1) == "-done":
+                    break
                 mult = loop_trips if "/while/" in line else 1
                 rhs = line.split("=", 1)[1]
                 result_part = rhs.split(op)[0]
-                b = _shape_bytes(result_part)
+                if m.group(1) == "-start":
+                    # tuple (operands..., outputs...): count the second half
+                    shapes = _SHAPE_RE.findall(result_part)
+                    half = shapes[len(shapes) // 2:] if len(shapes) > 1 else shapes
+                    b = sum(
+                        _DTYPE_BYTES[dt] * math.prod(
+                            int(d) for d in dims.split(",") if d)
+                        for dt, dims in half)
+                else:
+                    b = _shape_bytes(result_part)
                 d = per_op.setdefault(op, {"count": 0, "bytes": 0})
                 d["count"] += mult
                 d["bytes"] += b * mult
@@ -126,6 +155,11 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--layers", type=int, default=40)
     ap.add_argument("--model", default="dit", choices=("dit", "vae"))
+    ap.add_argument("--backend", default="cpu", choices=("cpu", "tpu-aot"),
+                    help="cpu = virtual CPU mesh (f32-promotion upper bound); "
+                         "tpu-aot = detached v5e topology AOT compile (exact)")
+    ap.add_argument("--topology", default="v5e:2x4",
+                    help="detached TPU topology for --backend tpu-aot")
     ap.add_argument("--dump-hlo", default=None)
     args = ap.parse_args()
 
@@ -134,6 +168,7 @@ def main():
     import dataclasses
 
     import jax.numpy as jnp
+    import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from chronoedit_tpu.configs import chronoedit_14b
@@ -143,7 +178,21 @@ def main():
 
     spec = dict(kv.split("=") for kv in args.mesh.split(","))
     mesh_cfg = MeshConfig(**{k: int(v) for k, v in spec.items()})
-    mesh = make_mesh(mesh_cfg)
+    if args.backend == "tpu-aot":
+        from jax.experimental import topologies
+
+        # kernel dispatch must target the TPU we compile FOR, not this
+        # process's CPU devices — otherwise the measured HLO contains the
+        # dense-attention fallback instead of the Pallas flash kernels
+        os.environ["CHRONOEDIT_TARGET_PLATFORM"] = "tpu"
+        topo = topologies.get_topology_desc(platform="tpu",
+                                            topology_name=args.topology)
+        assert len(topo.devices) == args.devices, (
+            f"topology {args.topology} has {len(topo.devices)} devices, "
+            f"--devices={args.devices}")
+        mesh = make_mesh(mesh_cfg, devices=np.array(topo.devices))
+    else:
+        mesh = make_mesh(mesh_cfg)
 
     if args.model == "vae":
         _vae_report(args, mesh)
@@ -198,13 +247,21 @@ def main():
     except Exception:
         flops = float("nan")
 
+    try:
+        opt_s = float(cost.get("optimal_seconds", float("nan")))
+        if opt_s < 0:  # TPU cost model returns -inf/negatives for some ops
+            opt_s = float("nan")
+    except Exception:
+        opt_s = float("nan")
     print(json.dumps({
         "mesh": dict(mesh.shape),
+        "backend": args.backend,
         "layers": args.layers,
         "tokens": b * t * (h // 2) * (w // 2),
         "collective_bytes": total,
         "per_op": per_op,
         "flops": None if math.isnan(flops) else flops,
+        "xla_optimal_seconds": None if math.isnan(opt_s) else opt_s,
     }))
 
 

@@ -61,6 +61,37 @@ class IterSpeedCallback(Callback):
             self._t0 = time.perf_counter()
 
 
+class DataSpeedMonitor(Callback):
+    """Data-fetch wall-time stats (the reference's
+    DetailedDataLoadingSpeedMonitor callback): consumes the per-iteration
+    ``data_time_s`` metric the trainer records around ``next(data)`` and
+    logs avg/max fetch time plus the fraction of step time spent waiting on
+    data every ``log_every`` iterations."""
+
+    def __init__(self, log_every: int = 100, log_fn=print):
+        self.log_every = log_every
+        self.log_fn = log_fn
+        self._times: list[float] = []
+        self._t0 = None
+
+    def on_train_start(self, trainer):
+        self._t0 = time.perf_counter()
+
+    def on_step_end(self, trainer, step, metrics):
+        if "data_time_s" in metrics:
+            self._times.append(float(metrics["data_time_s"]))
+        if step % self.log_every == 0 and self._times:
+            wall = time.perf_counter() - self._t0
+            avg = sum(self._times) / len(self._times)
+            frac = sum(self._times) / max(wall, 1e-9)
+            self.log_fn(
+                f"[iter {step}] data fetch avg={avg * 1e3:.1f}ms "
+                f"max={max(self._times) * 1e3:.1f}ms "
+                f"({100 * frac:.1f}% of step time)")
+            self._times.clear()
+            self._t0 = time.perf_counter()
+
+
 class LossLoggerCallback(Callback):
     """JSONL metrics log + unstable-loss counting (WandbCallback's
     loss-record/unstable-count behaviour, wandb_log.py:59-120, minus the

@@ -29,6 +29,10 @@ class CheckpointConfig:
     save_interval: int = 1000
     async_save: bool = True
     keys_not_to_resume: tuple[str, ...] = ()
+    # restore the EMA weights INTO the regular params (the reference's
+    # ``load_ema_to_reg`` regexp swap, ModelWrapper dcp.py:454-503) — used to
+    # fine-tune or evaluate from the smoothed weights
+    load_ema_to_reg: bool = False
 
 
 class CheckpointManager:
@@ -66,6 +70,14 @@ class CheckpointManager:
                 k: getattr(template, k) for k in self.cfg.keys_not_to_resume
                 if hasattr(template, k)
             })
+        if (self.cfg.load_ema_to_reg
+                and getattr(restored, "ema_params", None) is not None):
+            # copy: params and ema_params must not alias (donation sees each
+            # buffer once), same reason make_train_state copies
+            import jax.numpy as jnp
+
+            restored = restored._replace(params=jax.tree_util.tree_map(
+                jnp.copy, restored.ema_params))
         return restored
 
     def wait_until_finished(self):

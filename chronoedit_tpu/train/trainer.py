@@ -11,6 +11,7 @@ pod.
 from __future__ import annotations
 
 import dataclasses
+import time as _time
 from typing import Any, Callable, Iterator
 
 import jax
@@ -144,14 +145,21 @@ class Trainer:
             # Metrics are averaged over the micro-batches of one iteration.
             grad_accum = self.train_cfg.grad_accum
             accum_metrics = []
+            data_s = 0.0
             for _ in range(grad_accum):
                 key, sub = jax.random.split(key)
+                t0 = _time.perf_counter()
                 batch = next(data)
+                data_s += _time.perf_counter() - t0
                 state, metrics = self._step_fn(state, batch, sub)
                 accum_metrics.append(metrics)
             if grad_accum > 1:
                 metrics = jax.tree_util.tree_map(
                     lambda *xs: sum(xs) / len(xs), *accum_metrics)
+            # host-side data-fetch wall time for this iteration (the
+            # reference's DetailedDataLoadingSpeedMonitor callback feeds on
+            # the same measurement; see callbacks.DataSpeedMonitor)
+            metrics = {**metrics, "data_time_s": data_s}
 
             if self.cfg.profile_start >= 0 and it == self.cfg.profile_start + self.cfg.profile_steps:
                 jax.profiler.stop_trace()

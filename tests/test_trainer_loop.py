@@ -156,3 +156,56 @@ def test_nan_loss_aborts_without_checkpoints():
     state = trainer.init_state(params)
     with pytest.raises(RuntimeError, match="non-finite"):
         trainer.train(state, _poisoned_data(dit_cfg, nan_from=0))
+
+
+def test_load_ema_to_reg(tmp_path):
+    """CheckpointConfig.load_ema_to_reg restores the EMA weights into the
+    regular params (the reference's load_ema_to_reg swap, dcp.py:454-503)."""
+    dit_cfg = chronoedit_tiny().dit
+    params = dit_lib.init_dit_params(jax.random.PRNGKey(0), dit_cfg)
+    tcfg = TrainConfig(lr=1e-2, warmup_steps=1)  # big lr: params != ema fast
+    trainer = Trainer(
+        dit_cfg, tcfg, TrainerConfig(max_iter=3, save_every=3),
+        CheckpointConfig(directory=str(tmp_path / "ck"), async_save=False),
+    )
+    state = trainer.train(trainer.init_state(params), _data(dit_cfg))
+    saved_ema = jax.tree_util.tree_map(np.asarray, state.ema_params)
+    saved_params = jax.tree_util.tree_map(np.asarray, state.params)
+    assert not np.allclose(saved_ema["patch_embed"]["kernel"],
+                           saved_params["patch_embed"]["kernel"])
+
+    params2 = dit_lib.init_dit_params(jax.random.PRNGKey(0), dit_cfg)
+    trainer2 = Trainer(
+        dit_cfg, tcfg, TrainerConfig(max_iter=3),
+        CheckpointConfig(directory=str(tmp_path / "ck"), async_save=False,
+                         load_ema_to_reg=True),
+    )
+    state2 = trainer2.init_state(params2)
+    np.testing.assert_array_equal(
+        np.asarray(state2.params["patch_embed"]["kernel"]),
+        saved_ema["patch_embed"]["kernel"])
+    # params must not alias ema (donation safety)
+    assert state2.params["patch_embed"]["kernel"] is not state2.ema_params["patch_embed"]["kernel"]
+
+
+def test_data_speed_metric():
+    """The trainer reports host data-fetch time and DataSpeedMonitor logs it."""
+    from chronoedit_tpu.train.callbacks import DataSpeedMonitor
+
+    dit_cfg = chronoedit_tiny().dit
+    params = dit_lib.init_dit_params(jax.random.PRNGKey(0), dit_cfg)
+    seen = []
+
+    class Grab(Callback):
+        def on_step_end(self, trainer, step, metrics):
+            seen.append(metrics.get("data_time_s"))
+
+    lines = []
+    mon = DataSpeedMonitor(log_every=2, log_fn=lines.append)
+    trainer = Trainer(
+        dit_cfg, TrainConfig(lr=1e-4, warmup_steps=1),
+        TrainerConfig(max_iter=3), callbacks=[Grab(), mon],
+    )
+    trainer.train(trainer.init_state(params), _data(dit_cfg))
+    assert len(seen) == 3 and all(s is not None and s >= 0 for s in seen)
+    assert lines and "data fetch" in lines[0]

@@ -192,7 +192,8 @@ def measured_collectives(extra_args: list[str]) -> dict | None:
     virtual-CPU mesh (f32-promotion upper bound) if AOT is unavailable."""
     here = os.path.dirname(os.path.abspath(__file__))
     env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu",
-               ALLOW_MULTIPLE_LIBTPU_LOAD="1")
+               ALLOW_MULTIPLE_LIBTPU_LOAD="1",
+               JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache")
     tool = os.path.join(here, "tools", "sharded_step_hlo.py")
     for backend in ("tpu-aot", "cpu"):
         try:

@@ -11,6 +11,7 @@ from chronoedit_tpu.parallel.context import (
     gather_sequence,
 )
 from chronoedit_tpu.parallel.distributed import (
+    collate_metrics,
     init_distributed,
     host_local_to_global,
     is_primary,
@@ -20,6 +21,7 @@ from chronoedit_tpu.parallel.distributed import (
 )
 
 __all__ = [
+    "collate_metrics",
     "init_distributed",
     "host_local_to_global",
     "is_primary",

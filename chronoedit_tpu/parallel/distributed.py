@@ -92,6 +92,24 @@ def host_local_to_global(batch, mesh: Mesh, spec_fn=None):
     return jax.tree_util.tree_map(put, batch)
 
 
+def collate_metrics(metrics: dict) -> dict:
+    """Average host-local scalar metrics across processes — the reference's
+    distributed-eval ``collate_batches`` reduction
+    (chronoedit/_ext/imaginaire/utils/distributed.py:267-309).  Each process
+    evaluates its own validation batches; the returned dict holds the
+    cross-process means.  No-op (beyond float conversion) single-process.
+    """
+    if jax.process_count() == 1:
+        return {k: float(v) for k, v in metrics.items()}
+    from jax.experimental import multihost_utils
+
+    return {
+        k: float(np.mean(multihost_utils.process_allgather(
+            np.asarray(v, np.float64))))
+        for k, v in metrics.items()
+    }
+
+
 def local_batch_size(global_batch: int) -> int:
     """Per-process batch size for a given global batch."""
     n = jax.process_count()

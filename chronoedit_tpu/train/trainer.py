@@ -85,7 +85,11 @@ class Trainer:
         for _ in range(self.cfg.validate_batches):
             key, sub = jax.random.split(key)
             losses.append(float(self._val_fn(state.params, next(val_data), sub)))
-        return {"val_loss": sum(losses) / len(losses)}
+        from chronoedit_tpu.parallel.distributed import collate_metrics
+
+        # multi-host: every process evaluates its own batches; report the
+        # cross-process mean (reference collate_batches distributed eval)
+        return collate_metrics({"val_loss": sum(losses) / len(losses)})
 
     def _rewind_or_abort(self, state: TrainState, it: int,
                          unstable: int) -> TrainState:

@@ -132,3 +132,51 @@ def test_two_process_train_step_matches_single_process(tmp_path):
         _, metrics = step(state, batch, jax.random.PRNGKey(1))
     ref_loss = float(metrics["loss"])
     np.testing.assert_allclose(losses[0], ref_loss, rtol=1e-5)
+
+
+_COLLATE_WORKER = textwrap.dedent("""
+    import json, os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    sys.path.insert(0, %(repo)r)
+    import jax
+    jax.config.update("jax_platform_name", "cpu")
+    jax.config.update("jax_num_cpu_devices", 4)
+
+    from chronoedit_tpu.parallel import collate_metrics, init_distributed, process_index
+    assert init_distributed()
+    rank = process_index()
+    # per-process "validation" metrics differ by rank; the collated value is
+    # the cross-process mean on every host
+    out = collate_metrics({"val_loss": 1.0 + rank, "acc": float(rank)})
+    print("RESULT " + json.dumps({"rank": rank, **out}), flush=True)
+""")
+
+
+def test_collate_metrics_across_processes(tmp_path):
+    """Distributed-eval reduction: collate_metrics returns the cross-process
+    mean of per-host metrics (reference collate_batches)."""
+    script = tmp_path / "collate_worker.py"
+    script.write_text(_COLLATE_WORKER % {"repo": _REPO})
+    addr = f"localhost:{_free_port()}"
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ,
+                   JAX_COORDINATOR_ADDRESS=addr,
+                   JAX_NUM_PROCESSES="2",
+                   JAX_PROCESS_ID=str(rank))
+        env.pop("XLA_FLAGS", None)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    results = {}
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        assert p.returncode == 0, out[-3000:]
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                r = json.loads(line[len("RESULT "):])
+                results[r["rank"]] = r
+    assert set(results) == {0, 1}, results
+    for r in results.values():
+        assert r["val_loss"] == 1.5 and r["acc"] == 0.5, results

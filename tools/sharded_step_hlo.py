@@ -155,6 +155,9 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--layers", type=int, default=40)
     ap.add_argument("--model", default="dit", choices=("dit", "vae"))
+    ap.add_argument("--preset", default="14b", choices=("14b", "small"),
+                    help="small = 2x128 heads / 1024 ffn: fast compiles for "
+                         "regression tests of the sharded TPU program")
     ap.add_argument("--backend", default="cpu", choices=("cpu", "tpu-aot"),
                     help="cpu = virtual CPU mesh (f32-promotion upper bound); "
                          "tpu-aot = detached v5e topology AOT compile (exact)")
@@ -200,6 +203,15 @@ def main():
 
     cfg = dataclasses.replace(chronoedit_14b().dit, num_layers=args.layers,
                               param_dtype=jnp.bfloat16)
+    if args.preset == "small":
+        # full-width kernels (head_dim 128, lane-aligned dims) at a fraction
+        # of the weights, so the Pallas-in-shard_map paths are exercised
+        # without multi-minute 14B compiles
+        from chronoedit_tpu.core.rope import Rope3DSpec
+
+        cfg = dataclasses.replace(
+            cfg, num_heads=2, head_dim=128, ffn_dim=1024, text_dim=256,
+            image_dim=256, rope=Rope3DSpec(head_dim=128, temporal_skip_len=8))
     param_shapes = jax.eval_shape(
         lambda k: dit_lib.init_dit_params(k, cfg), jax.random.PRNGKey(0))
     spec_fn = dit_param_sharding(mesh)

@@ -375,9 +375,13 @@ def dit_forward(
     contract.  Multi-device meshes trace the plain-XLA norm implementations
     (GSPMD cannot auto-partition Mosaic kernels; attention stays fused via
     its explicit shard_maps)."""
+    from chronoedit_tpu.utils.platform import multi_device_world
+
     args = (params, cfg, x, timesteps, text_emb, image_emb, layer_mask,
             mesh, cache_blocks, cache, cache_refresh)
-    if mesh is not None and getattr(mesh, "size", 1) > 1:
+    multi = (mesh is not None and getattr(mesh, "size", 1) > 1
+             or mesh is None and multi_device_world())
+    if multi:
         from chronoedit_tpu.ops import fused_norms
 
         with fused_norms.plain_norms():

@@ -38,6 +38,7 @@ def dot_product_attention(
     backend: str | None = None,
     mesh=None,
     head_axis: str = "tensor",
+    _sharded: bool = False,
 ) -> jnp.ndarray:
     """Scaled dot-product attention, (B, S, H, D) layout, no mask (the DiT
     uses full bidirectional attention; padding is handled upstream by the
@@ -91,9 +92,21 @@ def dot_product_attention(
                                out_specs=qspec, check_vma=False)
             def sharded(qi, ki, vi):
                 return dot_product_attention(qi, ki, vi, scale=scale,
-                                             backend=backend)
+                                             backend=backend, _sharded=True)
 
             return sharded(q, k, v)
+
+    # Pallas is safe at top level only when the program cannot span devices
+    # (GSPMD can't partition Mosaic kernels); mesh-less calls in a
+    # multi-device world (pure-GSPMD sharding via input shardings) take the
+    # partitionable XLA path instead.  For a deliberately single-device
+    # program on a multi-chip host, pass ``mesh=single_device_mesh()`` (or
+    # backend="pallas") to keep the flash kernel.
+    if not _sharded and mesh is None and backend is None:
+        from chronoedit_tpu.utils.platform import multi_device_world
+
+        if multi_device_world():
+            return _xla_attention(q, k, v, scale)
 
     use_pallas = backend == "pallas" or (backend is None and _on_tpu())
     if use_pallas:

@@ -63,7 +63,10 @@ def dit_param_sharding(
         name = _path_str(path)
         shape = leaf.shape
         spec = [None] * len(shape)
-        in_block = name.startswith("blocks/")
+        # substring (not prefix) match so the same rules cover param *mirrors*
+        # whose paths gain a prefix: optimizer moments (mu/blocks/...) and
+        # ema_params/blocks/... shard exactly like the weights they track
+        in_block = "blocks/" in name
         sub = name.split("blocks/")[-1] if in_block else name
 
         # int8 leaves (ops/quant.py): kernel_q shards like its float kernel;

@@ -33,3 +33,18 @@ def target_platform() -> str:
 
 def on_tpu() -> bool:
     return target_platform() == "tpu"
+
+
+def multi_device_world() -> bool:
+    """True when the process sees more than one device.
+
+    Mosaic (Pallas) kernels cannot be auto-partitioned by GSPMD, so a kernel
+    traced *outside* a shard_map is only safe when the program cannot span
+    devices.  Call sites use this to fall back to plain XLA implementations
+    when no explicit mesh was provided but the world is multi-device (e.g.
+    pure-GSPMD training driven by input shardings alone).
+    """
+    try:
+        return jax.device_count() > 1
+    except Exception:  # pragma: no cover - no backend at all
+        return False

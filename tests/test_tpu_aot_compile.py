@@ -68,3 +68,22 @@ def test_dp_fsdp_mesh_compiles_for_v5e():
     rep = _compile("data=2,fsdp=2", batch=2)
     assert rep["backend"] == "tpu-aot"
     assert rep["collective_bytes"] >= 0
+
+
+def test_train_step_compiles_for_v5e():
+    """Full sharded TRAIN step (fwd + flash bwd under CP + AdamW + EMA)
+    AOT-compiles for the v5e target — covers the Pallas-backward and
+    optimizer-mirror sharding paths no CPU test can reach."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu",
+               ALLOW_MULTIPLE_LIBTPU_LOAD="1")
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, _TOOL, "--backend", "tpu-aot", "--model", "train",
+         "--preset", "small", "--layers", "2", "--mesh",
+         "data=2,tensor=2,context=2", "--devices", "8", "--topology",
+         "v5e:2x4", "--frames", "2", "--height", "16", "--width", "32",
+         "--batch", "2"],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-3000:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["model"] == "train" and rep["collective_bytes"] > 0

@@ -144,6 +144,68 @@ def _vae_report(args, mesh):
     }))
 
 
+def _train_report(args, mesh, dit_cfg):
+    """Collective bytes of the full sharded TRAIN step (fwd + bwd + AdamW +
+    EMA) — proves the training program compiles for the target topology
+    (Pallas flash backward under CP, GSPMD resharding of optimizer mirrors)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from chronoedit_tpu.models import dit as dit_lib
+    from chronoedit_tpu.parallel.sharding import dit_param_sharding
+    from chronoedit_tpu.train import (
+        TrainConfig, make_train_state, make_train_step)
+
+    tcfg = TrainConfig(warmup_steps=1)
+    params_abs = jax.eval_shape(
+        lambda k: dit_lib.init_dit_params(k, dit_cfg), jax.random.PRNGKey(0))
+    state_abs = jax.eval_shape(lambda p: make_train_state(p, tcfg), params_abs)
+    spec_fn = dit_param_sharding(mesh)
+    state_abs = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: jax.ShapeDtypeStruct(
+            leaf.shape, leaf.dtype, sharding=spec_fn(path, leaf)), state_abs)
+
+    b, t, h, w = args.batch, args.frames, args.height, args.width
+    z = dit_cfg.out_channels
+    cond_ch = dit_cfg.in_channels - z
+    cp = mesh.shape.get("context", 1)
+    vid_spec = [None] * 5
+    vid_spec[0] = "data" if mesh.shape.get("data", 1) > 1 else None
+    if cp > 1 and t % cp == 0:
+        vid_spec[2] = "context"
+
+    def vid(ch):
+        return jax.ShapeDtypeStruct(
+            (b, ch, t, h, w), jnp.float32,
+            sharding=NamedSharding(mesh, P(*vid_spec)))
+
+    repl = NamedSharding(mesh, P(*vid_spec[:1], None, None))
+    batch_abs = {
+        "latents": vid(z),
+        "condition": vid(cond_ch),
+        "text_emb": jax.ShapeDtypeStruct((b, 8, dit_cfg.text_dim),
+                                         jnp.float32, sharding=repl),
+        "image_emb": jax.ShapeDtypeStruct(
+            (b, dit_cfg.image_tokens, dit_cfg.image_dim), jnp.float32,
+            sharding=repl),
+    }
+    key_abs = jax.eval_shape(jax.random.PRNGKey, 1)
+
+    with mesh:
+        step = make_train_step(dit_cfg, tcfg, donate=False, mesh=mesh)
+        compiled = step.lower(state_abs, batch_abs, key_abs).compile()
+    hlo = compiled.as_text()
+    if args.dump_hlo:
+        with open(args.dump_hlo, "w") as f:
+            f.write(hlo)
+    per_op = collect_collectives(hlo, args.layers)
+    total = sum(d["bytes"] for d in per_op.values())
+    print(json.dumps({
+        "mesh": dict(mesh.shape), "backend": args.backend, "model": "train",
+        "layers": args.layers, "collective_bytes": total, "per_op": per_op,
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, default=8)
@@ -154,7 +216,7 @@ def main():
     ap.add_argument("--width", type=int, default=160)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--layers", type=int, default=40)
-    ap.add_argument("--model", default="dit", choices=("dit", "vae"))
+    ap.add_argument("--model", default="dit", choices=("dit", "vae", "train"))
     ap.add_argument("--preset", default="14b", choices=("14b", "small"),
                     help="small = 2x128 heads / 1024 ffn: fast compiles for "
                          "regression tests of the sharded TPU program")
@@ -212,6 +274,10 @@ def main():
         cfg = dataclasses.replace(
             cfg, num_heads=2, head_dim=128, ffn_dim=1024, text_dim=256,
             image_dim=256, rope=Rope3DSpec(head_dim=128, temporal_skip_len=8))
+
+    if args.model == "train":
+        _train_report(args, mesh, cfg)
+        return
     param_shapes = jax.eval_shape(
         lambda k: dit_lib.init_dit_params(k, cfg), jax.random.PRNGKey(0))
     spec_fn = dit_param_sharding(mesh)

@@ -85,18 +85,25 @@ def _readback_overhead() -> float:
 
 
 def bench_dit_block_ms(batch: int, frames: int = 2, iters: int = 5,
-                       quantize: bool = False) -> dict:
+                       quantize: bool = False, plain_norms: bool = False) -> dict:
     """Per-block DiT latency at 720p shapes.
 
     batch=1 is the 8-step distilled path (guidance 1.0 -> single forward);
     batch=2 is the CFG-batched base-model path. frames=2 is edit mode,
     frames=8 the temporal-reasoning sequence (28.8k tokens).
     quantize=True measures the int8 w8a8 serving path (ops/quant.py).
+    plain_norms=True traces the unfused XLA norm chain — what the *sharded*
+    program runs (Pallas norms live outside shard_maps, so multi-device
+    programs use the plain path); the fused/plain delta feeds the multi-chip
+    estimate's norm correction.
     NOTE: random data, not zeros — the runtime fast-paths all-zero buffers
     and timings collapse to dispatch overhead.
     """
+    import contextlib
+
     from chronoedit_tpu.configs import chronoedit_14b
     from chronoedit_tpu.models import dit as dit_lib
+    from chronoedit_tpu.ops import fused_norms
 
     base = chronoedit_14b().dit
     ks = jax.random.split(jax.random.PRNGKey(7), 3)
@@ -120,8 +127,10 @@ def bench_dit_block_ms(batch: int, frames: int = 2, iters: int = 5,
         def fwd(p, *a, _cfg=cfg):
             return jnp.sum(dit_lib.dit_forward(p, _cfg, *a).astype(jnp.float32))
 
-        times[layers] = _timeit(jax.jit(fwd), params, x, ts, text, img,
-                                warmup=2, iters=iters)
+        with (fused_norms.plain_norms() if plain_norms
+              else contextlib.nullcontext()):
+            times[layers] = _timeit(jax.jit(fwd), params, x, ts, text, img,
+                                    warmup=2, iters=iters)
         del params
     per_block = (times[3] - times[1]) / 2  # readback constant cancels
     overhead = max(times[1] - per_block - readback, 0.0)
@@ -241,6 +250,12 @@ def main():
     dit1_q = bench_dit_block_ms(batch=1, quantize=True)  # int8 serving path
     dit2 = bench_dit_block_ms(batch=2)  # base model: CFG-batched
     dit_r = bench_dit_block_ms(batch=2, frames=8, iters=2)  # reasoning 28.8k
+    # sharded programs run the plain (GSPMD-partitionable) norm chain, not
+    # the single-chip Pallas fused kernels — the delta feeds a per-mesh norm
+    # correction on the multi-chip estimate (scaled by the context shard's
+    # token count; HBM-bound work)
+    dit1_p = bench_dit_block_ms(batch=1, iters=3, plain_norms=True)
+    norm_delta_s = max(dit1_p["per_block_s"] - dit1["per_block_s"], 0.0)
     vae = bench_vae_s()
     e2e = bench_e2e_pipeline_s()
 
@@ -268,9 +283,26 @@ def main():
              "--height", "88", "--width", "160"])
         results = {k: f.result() for k, f in jobs.items()}
 
+    def _cp_of(mesh_name: str) -> int:
+        d = dict(kv.split("=") for kv in mesh_name.split(","))
+        return int(d.get("context", 1))
+
+    def norm_extra(mesh_name: str) -> float:
+        """Per-step cost of the unfused norm chain the sharded program runs.
+
+        Norm work is HBM-bound and scales with tokens per chip: only the
+        context axis shards tokens (1/cp vs the 1/8 the naive per-block
+        division assumes), so the correction is delta x 40 x (1/cp - 1/8)."""
+        cp = _cp_of(mesh_name)
+        return 40 * norm_delta_s * max(1.0 / cp - 1.0 / N_CHIPS_TARGET, 0.0)
+
     def best(kind):
-        cands = {m: wire_seconds(results.get((kind, m))) for m in MESHES}
-        cands = {m: s for m, s in cands.items() if s is not None}
+        """Pick the mesh minimizing wire + norm-correction step cost."""
+        cands = {}
+        for m in MESHES:
+            s = wire_seconds(results.get((kind, m)))
+            if s is not None:
+                cands[m] = s + norm_extra(m)
         if not cands:
             return None, None, {}
         m = min(cands, key=cands.get)
@@ -327,16 +359,19 @@ def main():
             "vae_decode_s": round(vae["decode_s"], 4),
             "edit_mesh": edit_mesh,
             "reasoning_mesh": reason_mesh,
-            "edit_wire_s_by_mesh": edit_cands,
-            "reasoning_wire_s_by_mesh": reason_cands,
+            # per-step overhead = measured wire time + plain-norm correction
+            # (the sharded program can't run the single-chip fused norms)
+            "edit_step_overhead_s_by_mesh": edit_cands,
+            "reasoning_step_overhead_s_by_mesh": reason_cands,
+            "plain_norm_delta_s_per_block_1chip": round(norm_delta_s, 5),
             "collective_bytes_edit_fwd": (
                 hlo_edit and hlo_edit["collective_bytes"]),
             "collective_bytes_reasoning_fwd": (
                 hlo_reason and hlo_reason["collective_bytes"]),
             "collective_bytes_vae_decode": (
                 hlo_vae and hlo_vae["collective_bytes"]),
-            "derived_comm_penalty_edit": penalty(dit1, comm_edit),
-            "derived_comm_penalty_reasoning": penalty(dit_r, comm_reason),
+            "derived_overhead_penalty_edit": penalty(dit1, comm_edit),
+            "derived_overhead_penalty_reasoning": penalty(dit_r, comm_reason),
             "hlo_backend": hlo_edit and hlo_edit.get("backend"),
             "assumptions": (
                 f"ICI {ICI_BW_PER_CHIP/1e9:.0f} GB/s per chip applied to "

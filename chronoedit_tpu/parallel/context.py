@@ -194,9 +194,14 @@ def ulysses_attention_inner(
     sequence with H/axis_size heads (Pallas flash on TPU via the normal
     dispatch), then reshards back.
     """
+    import functools as _ft
+
     from chronoedit_tpu.ops.attention import dot_product_attention
 
-    attn_fn = attn_fn or dot_product_attention
+    # _sharded: this body already runs inside the CP shard_map, so the
+    # Pallas kernel is legal here — without the flag the multi-device-world
+    # guard would silently degrade it to dense XLA attention
+    attn_fn = attn_fn or _ft.partial(dot_product_attention, _sharded=True)
     if q.shape[2] % axis_size:
         raise ValueError(f"heads {q.shape[2]} not divisible by axis size {axis_size}")
 

@@ -41,7 +41,7 @@ pytestmark = pytest.mark.skipif(
     not _aot_available(), reason="libtpu AOT topology support unavailable")
 
 
-def _compile(mesh: str, batch: int = 1) -> dict:
+def _compile(mesh: str, batch: int = 1, dump_hlo: str | None = None) -> dict:
     env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu",
                ALLOW_MULTIPLE_LIBTPU_LOAD="1")
     env.pop("XLA_FLAGS", None)
@@ -49,18 +49,26 @@ def _compile(mesh: str, batch: int = 1) -> dict:
         [sys.executable, _TOOL, "--backend", "tpu-aot", "--preset", "small",
          "--layers", "2", "--mesh", mesh, "--devices", "4",
          "--topology", "v5e:2x2", "--frames", "2", "--height", "16",
-         "--width", "32", "--batch", str(batch)],
+         "--width", "32", "--batch", str(batch)]
+        + (["--dump-hlo", dump_hlo] if dump_hlo else []),
         env=env, capture_output=True, text=True, timeout=600)
     assert out.returncode == 0, out.stderr[-3000:]
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def test_tp_cp_mesh_compiles_for_v5e():
+def test_tp_cp_mesh_compiles_for_v5e(tmp_path):
     """tensor x context (1 local head -> the ppermute ring CP path)."""
-    rep = _compile("tensor=2,context=2")
+    hlo_path = str(tmp_path / "tpcp.hlo")
+    rep = _compile("tensor=2,context=2", dump_hlo=hlo_path)
     assert rep["backend"] == "tpu-aot"
     assert rep["collective_bytes"] > 0
     assert "all-reduce" in rep["per_op"]  # row-parallel projection psums
+    # the Pallas flash kernels must actually be IN the multi-chip program:
+    # a silent fallback to dense XLA attention is numerically identical but
+    # blows HBM/latency at production sequence lengths (regression caught
+    # in round 2 — the multi-device-world guard degraded the CP inner path)
+    hlo = open(hlo_path).read()
+    assert "tpu_custom_call" in hlo, "no Mosaic kernel in the sharded program"
 
 
 def test_dp_fsdp_mesh_compiles_for_v5e():

@@ -327,6 +327,12 @@ def main():
     total = estimate(dit1, DENOISE_STEPS, comm_edit)
     total_int8 = estimate(dit1_q, DENOISE_STEPS, comm_edit)
     total_cfg50 = estimate(dit2, 50, comm_edit)
+    # batch-2 distilled serving throughput: the b=2 forward is the same
+    # program as CFG-batched (two images per step); collective bytes scale
+    # with batch, so 2x the measured b=1 overhead is the upper bound
+    total_b2 = estimate(dit2, DENOISE_STEPS,
+                        None if comm_edit is None else 2 * comm_edit)
+    throughput_b2 = 2.0 / (total_b2 + vae_8chip)  # 2nd image's VAE pass
     total_reason50 = estimate(dit_r, 50, comm_reason)
 
     # measured e2e (1-chip, reduced depth) scaled to 40 layers: non-DiT time
@@ -352,6 +358,7 @@ def main():
             "dit_block_s_1chip_b2_cfg": round(dit2["per_block_s"], 5),
             "dit_block_s_1chip_b2_reasoning28k": round(dit_r["per_block_s"], 5),
             "est_sec_per_edit_50step_cfg": round(total_cfg50, 3),
+            "est_edits_per_s_batch2_distilled": round(throughput_b2, 3),
             "est_sec_per_edit_50step_reasoning": round(total_reason50, 3),
             f"e2e_measured_s_1chip_{e2e['layers']}layer": round(e2e["measured_s"], 3),
             "e2e_est_s_1chip_40layer": round(e2e_40_1chip, 3),

@@ -194,21 +194,25 @@ def bench_e2e_pipeline_s(layers: int = 8) -> dict:
     return {"layers": layers, "measured_s": measured}
 
 
-def measured_collectives(extra_args: list[str]) -> dict | None:
+def measured_collectives(extra_args: list[str], aot_only: bool = False,
+                         timeout: int = 1200) -> dict | None:
     """Compile the sharded program in a subprocess and return the measured
     collective bytes from the optimized HLO.  Prefers the detached-topology
     TPU AOT compile (exact: native bf16 collectives); falls back to the
-    virtual-CPU mesh (f32-promotion upper bound) if AOT is unavailable."""
+    virtual-CPU mesh (f32-promotion upper bound) if AOT is unavailable —
+    unless ``aot_only`` (feasibility checks: the CPU backend has no HBM
+    limit, so its success proves nothing)."""
     here = os.path.dirname(os.path.abspath(__file__))
     env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu",
                ALLOW_MULTIPLE_LIBTPU_LOAD="1",
                JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache")
     tool = os.path.join(here, "tools", "sharded_step_hlo.py")
-    for backend in ("tpu-aot", "cpu"):
+    backends = ("tpu-aot",) if aot_only else ("tpu-aot", "cpu")
+    for backend in backends:
         try:
             out = subprocess.run(
                 [sys.executable, tool, "--backend", backend, *extra_args],
-                env=env, capture_output=True, text=True, timeout=1200,
+                env=env, capture_output=True, text=True, timeout=timeout,
                 check=True)
             return json.loads(out.stdout.strip().splitlines()[-1])
         except subprocess.CalledProcessError as e:
@@ -269,6 +273,7 @@ def main():
     # all-gathers on top of 14 G resident), and per-block gathers are pure
     # overhead for serving anyway; fsdp is a *training* axis here.
     MESHES = ("tensor=8", "tensor=4,context=2", "tensor=2,context=4")
+    PIPE_ARGS = ["--model", "pipeline", "--height", "88", "--width", "160"]
     jobs = {}
     with cf.ThreadPoolExecutor(max_workers=4) as pool:
         for m in MESHES:
@@ -308,8 +313,36 @@ def main():
         m = min(cands, key=cands.get)
         return m, cands[m], {k: round(v, 4) for k, v in cands.items()}
 
-    edit_mesh, comm_edit, edit_cands = best("edit")
+    edit_mesh0, _, edit_cands = best("edit")
     reason_mesh, comm_reason, reason_cands = best("reason")
+
+    # serving feasibility: the FULL pipeline program (denoise scan + VAE
+    # decode, one jit) must fit HBM on the mesh — the bare forward can fit
+    # where the pipeline does not (t2c4 at bf16: 17.5 G fwd vs 19.1 G pipe).
+    # Walk meshes best-overhead-first; one compile usually settles it.  AOT
+    # only (the CPU backend has no HBM limit); a timeout counts as unproven
+    # and the walk moves on.
+    feasibility: dict[str, dict[str, bool]] = {m: {} for m in MESHES}
+
+    def serving_mesh(quantize: bool) -> str | None:
+        order = sorted(edit_cands, key=edit_cands.get)
+        for m in order:
+            rep = measured_collectives(
+                ["--mesh", m, *PIPE_ARGS] + (["--quantize"] if quantize else []),
+                aot_only=True, timeout=2400)
+            feasibility[m]["int8" if quantize else "bf16"] = rep is not None
+            if rep is not None:
+                return m
+        return None
+
+    with cf.ThreadPoolExecutor(max_workers=2) as pool:
+        f_bf16 = pool.submit(serving_mesh, False)
+        f_int8 = pool.submit(serving_mesh, True)
+        edit_mesh = f_bf16.result() or edit_mesh0
+        int8_mesh = f_int8.result() or edit_mesh
+
+    comm_edit = edit_cands.get(edit_mesh)
+    comm_int8 = edit_cands.get(int8_mesh, comm_edit)
     hlo_edit = results.get(("edit", edit_mesh)) if edit_mesh else None
     hlo_reason = results.get(("reason", reason_mesh)) if reason_mesh else None
     hlo_vae = results.get(("vae", "tensor=8"))
@@ -325,7 +358,7 @@ def main():
         return steps * (step_compute + comm_s) + vae_8chip
 
     total = estimate(dit1, DENOISE_STEPS, comm_edit)
-    total_int8 = estimate(dit1_q, DENOISE_STEPS, comm_edit)
+    total_int8 = estimate(dit1_q, DENOISE_STEPS, comm_int8)
     total_cfg50 = estimate(dit2, 50, comm_edit)
     # batch-2 distilled serving throughput: the b=2 forward is the same
     # program as CFG-batched (two images per step); collective bytes scale
@@ -365,7 +398,12 @@ def main():
             "vae_encode_s": round(vae["encode_s"], 4),
             "vae_decode_s": round(vae["decode_s"], 4),
             "edit_mesh": edit_mesh,
+            "int8_mesh": int8_mesh,
             "reasoning_mesh": reason_mesh,
+            # mesh -> can the FULL serving program (8-step denoise + VAE
+            # decode, one jit) compile within v5e HBM? (bf16/int8 weights;
+            # meshes past the first feasible one are not checked)
+            "serving_feasible_by_mesh": feasibility,
             # per-step overhead = measured wire time + plain-norm correction
             # (the sharded program can't run the single-chip fused norms)
             "edit_step_overhead_s_by_mesh": edit_cands,

@@ -95,3 +95,20 @@ def test_train_step_compiles_for_v5e():
     assert out.returncode == 0, out.stderr[-3000:]
     rep = json.loads(out.stdout.strip().splitlines()[-1])
     assert rep["model"] == "train" and rep["collective_bytes"] > 0
+
+
+def test_serving_pipeline_compiles_for_v5e():
+    """The FULL serving program (8-step denoise scan + condition prep + VAE
+    decode in one jit) AOT-compiles for the v5e target."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu",
+               ALLOW_MULTIPLE_LIBTPU_LOAD="1")
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, _TOOL, "--backend", "tpu-aot", "--model", "pipeline",
+         "--preset", "small", "--layers", "2", "--mesh", "tensor=2,context=2",
+         "--devices", "4", "--topology", "v5e:2x2", "--height", "16",
+         "--width", "32"],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-3000:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["model"] == "pipeline" and rep["steps"] == 8

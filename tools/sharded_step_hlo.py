@@ -144,6 +144,84 @@ def _vae_report(args, mesh):
     }))
 
 
+def _pipeline_report(args, mesh, dit_cfg):
+    """Compile the FULL serving program — 8-step distilled denoise scan +
+    condition prep + VAE decode, as one jitted function — for the target
+    topology.  Stronger feasibility evidence than the forward-only compile:
+    solver carries, condition latents and the decode all share HBM with the
+    sharded weights."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from chronoedit_tpu.configs import chronoedit_14b_distilled
+    from chronoedit_tpu.models import dit as dit_lib
+    from chronoedit_tpu.models import vae as vae_lib
+    from chronoedit_tpu.parallel.sharding import dit_param_sharding
+    from chronoedit_tpu.pipeline import ChronoEditPipeline
+
+    cfg = chronoedit_14b_distilled()
+    cfg = dataclasses.replace(cfg, dit=dit_cfg)
+
+    spec_fn = dit_param_sharding(mesh)
+    dit_shapes = jax.eval_shape(lambda k: dit_lib.init_dit_params(k, cfg.dit),
+                                jax.random.PRNGKey(0))
+    if args.quantize:
+        from chronoedit_tpu.ops.quant import quantize_dit_params
+
+        dit_shapes = jax.eval_shape(quantize_dit_params, dit_shapes)
+    dit_abs = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: jax.ShapeDtypeStruct(
+            leaf.shape, leaf.dtype, sharding=spec_fn(path, leaf)),
+        dit_shapes)
+    repl = NamedSharding(mesh, P())
+    vae_abs = jax.tree_util.tree_map(
+        lambda leaf: jax.ShapeDtypeStruct(leaf.shape, leaf.dtype, sharding=repl),
+        jax.eval_shape(lambda k: vae_lib.init_vae_params(k, cfg.vae),
+                       jax.random.PRNGKey(1)))
+
+    b = args.batch
+    num_frames = 5  # edit mode
+    tl = cfg.vae.latent_frames(num_frames)
+    hl, wl = args.height, args.width  # latent grid
+    h_px, w_px = hl * cfg.vae.spatial_factor, wl * cfg.vae.spatial_factor
+    image = jax.ShapeDtypeStruct((b, 3, h_px, w_px), jnp.float32, sharding=repl)
+    prompt = jax.ShapeDtypeStruct((b, 512, cfg.dit.text_dim), jnp.float32,
+                                  sharding=repl)
+    img_emb = jax.ShapeDtypeStruct(
+        (b, cfg.dit.image_tokens, cfg.dit.image_dim), jnp.float32,
+        sharding=repl)
+    latents = jax.ShapeDtypeStruct((b, cfg.latent_channels, tl, hl, wl),
+                                   jnp.float32, sharding=repl)
+
+    pipe = ChronoEditPipeline(cfg, dit_abs, vae_abs, mesh=mesh)
+    run = pipe._make_run(num_frames=num_frames, num_steps=cfg.num_steps,
+                         guidance=cfg.guidance_scale, shift=cfg.flow_shift,
+                         reasoning=False, k_reason=0, slg_layers=(),
+                         output_type="video")
+    with mesh:
+        compiled = jax.jit(run).lower(dit_abs, vae_abs, image, prompt, None,
+                                      img_emb, latents).compile()
+    hlo = compiled.as_text()
+    if args.dump_hlo:
+        with open(args.dump_hlo, "w") as f:
+            f.write(hlo)
+    per_op = collect_collectives(hlo, args.layers)
+    total = sum(d["bytes"] for d in per_op.values())
+    print(json.dumps({
+        "mesh": dict(mesh.shape), "backend": args.backend,
+        "model": "pipeline", "layers": args.layers,
+        "quantize": bool(args.quantize),
+        "steps": cfg.num_steps, "latent": [tl, hl, wl],
+        # NOTE: per_op bytes under-count the nested step x layer scans (a
+        # collective inside both loops is multiplied by layers only) — the
+        # pipeline compile's primary product is HBM *feasibility*; use
+        # --model dit for per-forward collective accounting.
+        "collective_bytes": total, "per_op": per_op,
+    }))
+
+
 def _train_report(args, mesh, dit_cfg):
     """Collective bytes of the full sharded TRAIN step (fwd + bwd + AdamW +
     EMA) — proves the training program compiles for the target topology
@@ -216,7 +294,10 @@ def main():
     ap.add_argument("--width", type=int, default=160)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--layers", type=int, default=40)
-    ap.add_argument("--model", default="dit", choices=("dit", "vae", "train"))
+    ap.add_argument("--model", default="dit",
+                    choices=("dit", "vae", "train", "pipeline"))
+    ap.add_argument("--quantize", action="store_true",
+                    help="pipeline model: int8 w8a8 DiT projections")
     ap.add_argument("--preset", default="14b", choices=("14b", "small"),
                     help="small = 2x128 heads / 1024 ffn: fast compiles for "
                          "regression tests of the sharded TPU program")
@@ -277,6 +358,9 @@ def main():
 
     if args.model == "train":
         _train_report(args, mesh, cfg)
+        return
+    if args.model == "pipeline":
+        _pipeline_report(args, mesh, cfg)
         return
     param_shapes = jax.eval_shape(
         lambda k: dit_lib.init_dit_params(k, cfg), jax.random.PRNGKey(0))

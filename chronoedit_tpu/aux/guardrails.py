@@ -109,10 +109,26 @@ class Guardrails:
 _LEET = str.maketrans({"0": "o", "1": "i", "3": "e", "4": "a", "5": "s",
                        "7": "t", "@": "a", "$": "s", "!": "i"})
 
-# minimal built-in denylist; production deployments supply word-list files
-# (the reference ships curated lists as data files, blocklist.py:36-202)
-_DEFAULT_EXACT = ("csam",)
-_DEFAULT_PARTIAL = ("child sexual",)
+# bundled starter denylist (assets/blocklist/*.txt) so the text guardrail
+# blocks something out of the box, as the reference's data files do
+# (blocklist.py:36-202); production deployments extend/replace via
+# Blocklist.from_dir. Falls back to a minimal hardcoded list if the asset
+# files are missing from a stripped install.
+_BUNDLED_BLOCKLIST_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "assets", "blocklist")
+
+
+def _read_word_list(path: str) -> tuple[str, ...]:
+    if not os.path.exists(path):
+        return ()
+    with open(path) as f:
+        return tuple(w.strip().lower() for w in f if w.strip())
+
+
+_DEFAULT_EXACT = _read_word_list(
+    os.path.join(_BUNDLED_BLOCKLIST_DIR, "exact.txt")) or ("csam",)
+_DEFAULT_PARTIAL = _read_word_list(
+    os.path.join(_BUNDLED_BLOCKLIST_DIR, "partial.txt")) or ("child sexual",)
 
 
 @dataclasses.dataclass
@@ -128,15 +144,11 @@ class Blocklist:
         """Load ``exact.txt`` / ``partial.txt`` word-list files (one entry
         per line) from a directory."""
 
-        def read(name):
-            p = os.path.join(path, name)
-            if not os.path.exists(p):
-                return ()
-            with open(p) as f:
-                return tuple(w.strip().lower() for w in f if w.strip())
-
-        return cls(exact_words=read("exact.txt") or _DEFAULT_EXACT,
-                   partial_phrases=read("partial.txt") or _DEFAULT_PARTIAL)
+        return cls(
+            exact_words=_read_word_list(os.path.join(path, "exact.txt"))
+            or _DEFAULT_EXACT,
+            partial_phrases=_read_word_list(os.path.join(path, "partial.txt"))
+            or _DEFAULT_PARTIAL)
 
     @staticmethod
     def normalize(prompt: str) -> str:
@@ -185,6 +197,79 @@ class LLMTextGuard:
                                       skip_special_tokens=True).lower()
         if any(m in reply for m in self.unsafe_markers):
             return False, f"classifier verdict: {reply[:80]}"
+        return True, ""
+
+
+# Qwen3Guard's published ternary taxonomy (the model's own output labels;
+# qwen3guard/categories.py in the reference)
+QWEN3GUARD_CATEGORIES = {
+    "S1": "Violent",
+    "S2": "Non-violent Illegal Acts",
+    "S3": "Sexual Content or Sexual Acts",
+    "S4": "Suicide & Self-Harm",
+    "S5": "Unethical Acts",
+    "S6": "Jailbreak",
+}
+
+_QWEN3_SAFETY_RE = re.compile(r"Safety: (Safe|Unsafe|Controversial)")
+_QWEN3_CATEGORY_RE = re.compile(
+    "(" + "|".join(re.escape(v) for v in QWEN3GUARD_CATEGORIES.values()) + ")")
+
+
+def parse_qwen3guard_verdict(content: str) -> tuple[str | None, list[str]]:
+    """Parse a Qwen3Guard-Gen generation into (label, categories).
+
+    The model emits free text containing ``Safety: Safe|Unsafe|Controversial``
+    plus zero or more category names from its taxonomy
+    (qwen3guard/qwen3guard.py:58-76). Returns (None, []) when no safety
+    line is present (malformed generation -> caller fails open, matching the
+    reference's behavior)."""
+    m = _QWEN3_SAFETY_RE.search(content)
+    label = m.group(1) if m else None
+    categories = _QWEN3_CATEGORY_RE.findall(content)
+    return label, categories
+
+
+class Qwen3Guard:
+    """The actual Qwen3Guard protocol on top of the generic LLM slot
+    (qwen3guard/qwen3guard.py:30-84): chat-template prompt construction,
+    128-token generation, and ternary Safe/Controversial/Unsafe parsing.
+    Blocks ONLY on "Unsafe" — "Controversial" passes, as in the reference.
+    Parse failures and runtime errors fail OPEN (return safe) exactly like
+    the reference's exception handler.
+
+    Weights-gated: pass ``model_path`` pointing at local
+    Qwen/Qwen3Guard-Gen-* weights, or inject ``tokenizer``/``model``
+    objects (tests use canned fakes on the same API)."""
+
+    def __init__(self, model_path: str | None = None, tokenizer=None,
+                 model=None, max_new_tokens: int = 128):
+        if tokenizer is None or model is None:
+            from transformers import AutoModelForCausalLM, AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(model_path)
+            model = AutoModelForCausalLM.from_pretrained(model_path)
+        self.tokenizer = tokenizer
+        self.model = model
+        self.max_new_tokens = max_new_tokens
+
+    def _generate(self, prompt: str) -> str:
+        msgs = [{"role": "user", "content": prompt}]
+        text = self.tokenizer.apply_chat_template(msgs, tokenize=False)
+        ids = self.tokenizer([text], return_tensors="pt")
+        out = self.model.generate(**ids, max_new_tokens=self.max_new_tokens)
+        return self.tokenizer.decode(
+            out[0][ids["input_ids"].shape[1]:], skip_special_tokens=True)
+
+    def __call__(self, prompt: str) -> tuple[bool, str]:
+        try:
+            content = self._generate(prompt)
+            label, categories = parse_qwen3guard_verdict(content)
+        except Exception as e:  # fail open, as the reference does
+            return True, f"Qwen3Guard error (failing open): {e}"
+        if label is not None and label.lower() == "unsafe":
+            return False, (f"Prompt blocked by Qwen3Guard. Safety: {label}, "
+                           f"Categories: {categories}")
         return True, ""
 
 

@@ -197,14 +197,31 @@ def _self_attention(p: Params, x: jnp.ndarray, rope_cos, rope_sin,
     GSPMD does that slicing for us).
     """
     from chronoedit_tpu.core.rope import apply_rope
+    from chronoedit_tpu.parallel.mesh import InnerAxes
 
-    q = rms_norm_fused(p["q_norm"], L.linear(p["q"], x), cfg.eps)
-    k = rms_norm_fused(p["k_norm"], L.linear(p["k"], x), cfg.eps)
+    q = rms_norm_fused(p["q_norm"], L.linear(p["q"], x), cfg.eps, mesh=mesh)
+    k = rms_norm_fused(p["k_norm"], L.linear(p["k"], x), cfg.eps, mesh=mesh)
     v = L.linear(p["v"], x)
     q, k, v = (_split_heads(t, cfg.num_heads) for t in (q, k, v))
     cos, sin = rope_cos[:, None, :], rope_sin[:, None, :]  # broadcast over heads
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+
+    if isinstance(mesh, InnerAxes):
+        # already inside a shard_map (pipeline stage): collectives over axis
+        # NAMES, Pallas kernels shard-local. Heads are full inside stages
+        # (tensor replicated there), so Ulysses whenever heads divide cp.
+        if mesh.context is not None and mesh.context_size > 1:
+            from chronoedit_tpu.parallel.context import (
+                ring_attention_inner, ulysses_attention_inner)
+
+            use_ulysses = (q.shape[2] % mesh.context_size == 0
+                           and cfg.context_parallel != "ring")
+            inner = ulysses_attention_inner if use_ulysses else ring_attention_inner
+            out = inner(q, k, v, mesh.context, mesh.context_size)
+        else:
+            out = dot_product_attention(q, k, v, _sharded=True)
+        return L.linear(p["o"], _merge_heads(out))
 
     cp_size = mesh.shape.get("context", 1) if mesh is not None else 1
     mode = cfg.context_parallel
@@ -230,20 +247,31 @@ def _self_attention(p: Params, x: jnp.ndarray, rope_cos, rope_sin,
 def _cross_attention(p: Params, x: jnp.ndarray, text_ctx: jnp.ndarray,
                      img_ctx: jnp.ndarray | None, cfg: DiTConfig, mesh=None):
     """I2V cross-attention: text branch + (optional) image branch, summed
-    (transformer_chronoedit.py:81-104)."""
-    q = rms_norm_fused(p["q_norm"], L.linear(p["q"], x), cfg.eps)
+    (transformer_chronoedit.py:81-104).
+
+    Under InnerAxes (inside a pipeline stage's shard_map), queries are
+    context-local and the text/CLIP KV is replicated per shard — each shard
+    attends its local queries against the full context, the same layout the
+    mesh path's shard_map produces."""
+    from chronoedit_tpu.parallel.mesh import InnerAxes
+
+    inner = isinstance(mesh, InnerAxes)
+    attn_mesh = None if inner else mesh
+
+    q = rms_norm_fused(p["q_norm"], L.linear(p["q"], x), cfg.eps, mesh=mesh)
     q = _split_heads(q, cfg.num_heads)
 
     k = L.rms_norm(p["k_norm"], L.linear(p["k"], text_ctx), cfg.eps)
     v = L.linear(p["v"], text_ctx)
     out = dot_product_attention(q, _split_heads(k, cfg.num_heads),
-                                _split_heads(v, cfg.num_heads), mesh=mesh)
+                                _split_heads(v, cfg.num_heads),
+                                mesh=attn_mesh, _sharded=inner)
     if img_ctx is not None:
         k_img = L.rms_norm(p["k_img_norm"], L.linear(p["k_img"], img_ctx), cfg.eps)
         v_img = L.linear(p["v_img"], img_ctx)
         out_img = dot_product_attention(q, _split_heads(k_img, cfg.num_heads),
                                         _split_heads(v_img, cfg.num_heads),
-                                        mesh=mesh)
+                                        mesh=attn_mesh, _sharded=inner)
         out = out + out_img
     return L.linear(p["o"], _merge_heads(out))
 
@@ -284,18 +312,18 @@ def dit_block(p: Params, x: jnp.ndarray, text_ctx, img_ctx, e: jnp.ndarray,
     )
 
     # self-attention (fused fp32 LN + AdaLN modulate, fused gated residual)
-    norm_x = layer_norm_modulate(x, scale_msa, shift_msa, hw, cfg.eps)
+    norm_x = layer_norm_modulate(x, scale_msa, shift_msa, hw, cfg.eps, mesh=mesh)
     attn = _self_attention(p["self_attn"], norm_x, rope_cos, rope_sin, cfg, mesh)
-    x = gated_residual(x, attn, gate_msa, hw)
+    x = gated_residual(x, attn, gate_msa, hw, mesh=mesh)
 
     # cross-attention (plain residual add, reference line 286)
     norm_x = L.layer_norm(p.get("norm2", {}), x, cfg.eps, out_dtype=x.dtype)
     x = x + _cross_attention(p["cross_attn"], norm_x, text_ctx, img_ctx, cfg, mesh)
 
     # ffn
-    norm_x = layer_norm_modulate(x, c_scale, c_shift, hw, cfg.eps)
+    norm_x = layer_norm_modulate(x, c_scale, c_shift, hw, cfg.eps, mesh=mesh)
     ff = L.linear(p["ffn"]["fc2"], L.gelu_tanh(L.linear(p["ffn"]["fc1"], norm_x)))
-    x = gated_residual(x, ff, c_gate, hw)
+    x = gated_residual(x, ff, c_gate, hw, mesh=mesh)
     return x
 
 
@@ -372,16 +400,16 @@ def dit_forward(
     cache_refresh: jnp.ndarray | bool = True,
 ) -> jnp.ndarray:
     """Velocity prediction — see :func:`_dit_forward_impl` for the full
-    contract.  Multi-device meshes trace the plain-XLA norm implementations
-    (GSPMD cannot auto-partition Mosaic kernels; attention stays fused via
-    its explicit shard_maps)."""
+    contract.  With an explicit >1-device mesh every Pallas kernel (attention
+    AND the fused norms) lives inside its own shard_map, so the multi-chip
+    program keeps them (GSPMD cannot auto-partition Mosaic kernels).  Only
+    the mesh-less pure-GSPMD path (input shardings alone drive partitioning)
+    must degrade to the plain-XLA norm chain."""
     from chronoedit_tpu.utils.platform import multi_device_world
 
     args = (params, cfg, x, timesteps, text_emb, image_emb, layer_mask,
             mesh, cache_blocks, cache, cache_refresh)
-    multi = (mesh is not None and getattr(mesh, "size", 1) > 1
-             or mesh is None and multi_device_world())
-    if multi:
+    if mesh is None and multi_device_world():
         from chronoedit_tpu.ops import fused_norms
 
         with fused_norms.plain_norms():
@@ -499,8 +527,20 @@ def _dit_forward_impl(
     elif mesh is not None and mesh.shape.get("pipe", 1) > 1:
         # GPipe over the pipe axis: stacked blocks stage-sharded, batch
         # microbatched, ppermute handoffs (parallel/pipeline_parallel.py).
-        # Attention inside a stage sees no mesh (stages are shard_mapped).
+        # Composes with context parallelism: tokens are context-sharded
+        # INSIDE stages and blocks run ring/Ulysses attention over the
+        # ``context`` axis name (InnerAxes), with RoPE tables and per-frame
+        # modulation sliced to the shard's global token range.
+        from chronoedit_tpu.ops.fused_norms import (
+            frames_map_locally, local_frame_slice)
+        from chronoedit_tpu.parallel.mesh import InnerAxes
         from chronoedit_tpu.parallel.pipeline_parallel import gpipe_scan
+
+        s = tokens.shape[1]
+        cp = mesh.shape.get("context", 1)
+        cp_inside = cp > 1 and frames_map_locally(s, hw, cp)
+        inner = InnerAxes(context="context" if cp_inside else None,
+                          context_size=cp if cp_inside else 1)
 
         stacked = (params["blocks"] if layer_mask is None
                    else (params["blocks"], layer_mask))
@@ -508,14 +548,22 @@ def _dit_forward_impl(
         def pp_block(lp, x_cur, ctx):
             bp, m = lp if layer_mask is not None else (lp, None)
             t_ctx, i_ctx, tp = ctx
-            out = block_fn(bp, x_cur, t_ctx, i_ctx, tp, cos, sin,
-                           hw, cfg, None)
+            cos_l, sin_l, hw_l = cos, sin, hw
+            if cp_inside:
+                s_loc = x_cur.shape[1]
+                idx = jax.lax.axis_index("context")
+                cos_l = jax.lax.dynamic_slice_in_dim(cos, idx * s_loc, s_loc, 0)
+                sin_l = jax.lax.dynamic_slice_in_dim(sin, idx * s_loc, s_loc, 0)
+                (tp,), hw_l = local_frame_slice((tp,), hw, s_loc, "context")
+            out = block_fn(bp, x_cur, t_ctx, i_ctx, tp, cos_l, sin_l,
+                           hw_l, cfg, inner)
             if m is not None:
                 out = jnp.where(m > 0.5, out, x_cur)
             return out
 
         tokens = gpipe_scan(pp_block, stacked, tokens,
-                            (text_ctx, img_ctx, t_proj), mesh)
+                            (text_ctx, img_ctx, t_proj), mesh,
+                            context_axis="context" if cp_inside else None)
     else:
         if layer_mask is None:
             def body(carry, bp):
@@ -538,7 +586,7 @@ def _dit_forward_impl(
     table = head["scale_shift_table"].astype(jnp.float32)  # (2, dim)
     mods = table[None, None] + temb[:, :, None, :]  # (B, T, 2, dim)
     shift, scale = mods[:, :, 0], mods[:, :, 1]
-    normed = layer_norm_modulate(tokens, scale, shift, hw, cfg.eps)
+    normed = layer_norm_modulate(tokens, scale, shift, hw, cfg.eps, mesh=mesh)
     out = L.linear(head["proj"], normed)
     out = _unpatchify(out, grid, cfg)
     if cache_blocks is not None:

@@ -70,10 +70,15 @@ def _plan_blocks(sq: int, skv: int, d: int, itemsize: int,
     masked work at the flagship 7.2k-token edit shape (round-2 review).
     Buffers are padded to these block sizes, so forward and backward grids
     stay consistent."""
-    skv128 = ((skv + 127) // 128) * 128
-    if 2 * skv128 * d * itemsize <= _RESIDENT_KV_BYTES:
+    # decide residency from the size the buffers will actually be padded to
+    # (the resident path's kv block), so this check and _forward's re-check
+    # agree — a 128-aligned check here with 256-padding there sent gap shapes
+    # down the streamed kernel with resident-tuned 256-blocks (advisor r2)
+    bkv = min(block_kv, 256)
+    skv_res = -(-skv // bkv) * bkv
+    if 2 * skv_res * d * itemsize <= _RESIDENT_KV_BYTES:
         bq = 256 if sq >= 256 else 128
-        return min(block_q, bq), min(block_kv, 256)
+        return min(block_q, bq), bkv
     return _pick_blocks(sq, skv, block_q, block_kv)
 
 

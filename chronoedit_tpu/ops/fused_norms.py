@@ -14,17 +14,29 @@ do each chain in one VMEM pass:
 
 All fall back to the unfused jnp implementations for shapes the kernels
 don't support (CPU tests, indivisible grids).
+
+Multi-device programs (``mesh=`` passed): GSPMD cannot partition Mosaic
+kernels, so each op wraps itself in a ``jax.shard_map`` whose specs match the
+DiT's activation layout — tokens context-sharded, batch data/fsdp-sharded,
+features replicated (tensor-sharded for the qk rms norm). The per-frame
+scale/shift/gate tensors enter replicated and are sliced to the shard's
+frames inside the body (:func:`local_frame_slice`), which handles both
+whole-frames-per-shard and shards-within-a-frame splits. This keeps the
+fused kernels in the sharded program instead of silently degrading to the
+plain-XLA chain (round-2 weakness #3).
 """
 
 from __future__ import annotations
 
 import contextlib
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
 
 from chronoedit_tpu.ops import layers as L
 
@@ -94,11 +106,11 @@ def _lnmod_jnp(x, scale, shift, hw, eps):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def layer_norm_modulate(x: jnp.ndarray, scale: jnp.ndarray, shift: jnp.ndarray,
-                        hw: int, eps: float = 1e-6) -> jnp.ndarray:
-    """x (B, S, D) bf16; scale/shift (B, T, D) fp32 with S = T*hw.
-    Returns (B, S, D) in x.dtype. Backward runs the (identical-math) jnp
-    formulation, so the Pallas forward stays autodiff-compatible."""
+def _lnmod_local(x: jnp.ndarray, scale: jnp.ndarray, shift: jnp.ndarray,
+                 hw: int, eps: float = 1e-6) -> jnp.ndarray:
+    """Single-shard LN+modulate (Pallas on TPU). Backward runs the
+    (identical-math) jnp formulation, so the Pallas forward stays
+    autodiff-compatible."""
     return _lnmod_fwd_impl(x, scale, shift, hw, eps)
 
 
@@ -112,7 +124,23 @@ def _lnmod_vjp_bwd(hw, eps, res, g):
     return vjp(g)
 
 
-layer_norm_modulate.defvjp(_lnmod_vjp_fwd, _lnmod_vjp_bwd)
+_lnmod_local.defvjp(_lnmod_vjp_fwd, _lnmod_vjp_bwd)
+
+
+def layer_norm_modulate(x: jnp.ndarray, scale: jnp.ndarray, shift: jnp.ndarray,
+                        hw: int, eps: float = 1e-6, mesh=None) -> jnp.ndarray:
+    """x (B, S, D) bf16; scale/shift (B, T, D) fp32 with S = T*hw.
+    Returns (B, S, D) in x.dtype.  With a >1-device ``mesh`` the op runs
+    inside a shard_map matching the DiT activation layout so the Pallas
+    kernel survives in the multi-chip program."""
+    if mesh is not None and getattr(mesh, "size", 1) > 1:
+        out = _framewise_sharded(
+            lambda xl, sc, sh, hwl: _lnmod_local(xl, sc, sh, hwl, eps),
+            mesh, (x,), (scale, shift), hw)
+        if out is not None:
+            return out
+        return _lnmod_jnp(x, scale, shift, hw, eps)  # GSPMD partitions this
+    return _lnmod_local(x, scale, shift, hw, eps)
 
 
 def _lnmod_fwd_impl(x, scale, shift, hw, eps):
@@ -164,9 +192,9 @@ def _gate_jnp(x, delta, gate, hw):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def gated_residual(x: jnp.ndarray, delta: jnp.ndarray, gate: jnp.ndarray,
-                   hw: int) -> jnp.ndarray:
-    """x + delta*gate in fp32; gate (B, T, D) per-frame; output x.dtype."""
+def _gate_local(x: jnp.ndarray, delta: jnp.ndarray, gate: jnp.ndarray,
+                hw: int) -> jnp.ndarray:
+    """Single-shard gated residual (Pallas on TPU)."""
     return _gate_fwd_impl(x, delta, gate, hw)
 
 
@@ -180,7 +208,20 @@ def _gate_vjp_bwd(hw, res, g):
     return vjp(g)
 
 
-gated_residual.defvjp(_gate_vjp_fwd, _gate_vjp_bwd)
+_gate_local.defvjp(_gate_vjp_fwd, _gate_vjp_bwd)
+
+
+def gated_residual(x: jnp.ndarray, delta: jnp.ndarray, gate: jnp.ndarray,
+                   hw: int, mesh=None) -> jnp.ndarray:
+    """x + delta*gate in fp32; gate (B, T, D) per-frame; output x.dtype."""
+    if mesh is not None and getattr(mesh, "size", 1) > 1:
+        out = _framewise_sharded(
+            lambda xl, dl, g, hwl: _gate_local(xl, dl, g, hwl),
+            mesh, (x, delta), (gate,), hw)
+        if out is not None:
+            return out
+        return _gate_jnp(x, delta, gate, hw)
+    return _gate_local(x, delta, gate, hw)
 
 
 def _gate_fwd_impl(x, delta, gate, hw):
@@ -215,8 +256,8 @@ def _rms_kernel(x_ref, w_ref, o_ref, *, eps: float):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def rms_norm_fused(params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
-    """Drop-in for ops.layers.rms_norm on (B, S, D)."""
+def _rms_local(params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Single-shard rms norm (Pallas on TPU)."""
     return _rms_fwd_impl(params, x, eps)
 
 
@@ -230,7 +271,45 @@ def _rms_vjp_bwd(eps, res, g):
     return vjp(g)
 
 
-rms_norm_fused.defvjp(_rms_vjp_fwd, _rms_vjp_bwd)
+_rms_local.defvjp(_rms_vjp_fwd, _rms_vjp_bwd)
+
+
+def rms_norm_fused(params, x: jnp.ndarray, eps: float = 1e-6,
+                   mesh=None) -> jnp.ndarray:
+    """Drop-in for ops.layers.rms_norm on (B, S, D).
+
+    With a >1-device ``mesh`` the op shard_maps over the activation layout.
+    The qk projections are column-split under tensor parallelism, so the
+    feature dim enters tensor-sharded and the "across heads" statistics are
+    completed with one tiny psum over the tensor axis (the same collective
+    GSPMD inserts for the plain formulation — but here the surrounding
+    elementwise work stays explicit and fused)."""
+    if mesh is None or getattr(mesh, "size", 1) <= 1:
+        return _rms_local(params, x, eps)
+
+    b, s, d = x.shape
+    cp = mesh.shape.get("context", 1)
+    tp = mesh.shape.get("tensor", 1)
+    cp_ok = cp > 1 and s % cp == 0
+    tp_ok = tp > 1 and d % tp == 0
+    batch = _mesh_batch_axes(mesh, b)
+    bspec = batch if batch else None
+    xspec = P(bspec, "context" if cp_ok else None,
+              "tensor" if tp_ok else None)
+    wspec = P("tensor" if tp_ok else None)
+
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=(wspec, xspec),
+                       out_specs=xspec, check_vma=False)
+    def run(w_l, x_l):
+        if not tp_ok:
+            return _rms_local({"scale": w_l}, x_l, eps)
+        xf = x_l.astype(jnp.float32)
+        ss = jnp.sum(xf * xf, axis=-1, keepdims=True)
+        ss = jax.lax.psum(ss, "tensor")
+        y = (xf * jax.lax.rsqrt(ss / d + eps)).astype(x_l.dtype)
+        return y * w_l.astype(x_l.dtype)
+
+    return run(params["scale"], x)
 
 
 def _rms_fwd_impl(params, x, eps):
@@ -254,3 +333,81 @@ def _rms_fwd_impl(params, x, eps):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
     )(x, w)
+
+
+# ----------------------------------------------------- sharded dispatch
+
+def _mesh_batch_axes(mesh, b: int) -> tuple[str, ...]:
+    axes = tuple(a for a in ("data", "fsdp") if mesh.shape.get(a, 1) > 1)
+    if axes and b % math.prod(mesh.shape[a] for a in axes):
+        axes = ()
+    return axes
+
+
+def local_frame_slice(mods, hw: int, s_local: int, axis_name: str):
+    """Slice per-frame modulation tensors to a context shard's frames.
+
+    Inside a shard_map whose token axis is split over ``axis_name`` into
+    contiguous blocks of ``s_local`` tokens, a (B, T, ...) modulation tensor
+    maps onto the local tokens in one of two regimes:
+
+    - whole frames per shard (``s_local % hw == 0``): the shard holds
+      ``s_local // hw`` consecutive frames;
+    - shard within a frame (``hw % s_local == 0``): every token of the shard
+      belongs to the single frame ``shard_idx * s_local // hw``.
+
+    Returns ``(mods_local, hw_local)`` where each mod is (B, T_local, ...)
+    and ``hw_local`` is the per-local-frame token count. Callers must have
+    verified one of the two regimes holds (see :func:`frames_map_locally`).
+    """
+    idx = jax.lax.axis_index(axis_name)
+    if s_local % hw == 0:
+        t_local, hw_local = s_local // hw, hw
+        start = idx * t_local
+    else:
+        t_local, hw_local = 1, s_local
+        start = idx * s_local // hw
+    out = tuple(jax.lax.dynamic_slice_in_dim(m, start, t_local, 1)
+                for m in mods)
+    return out, hw_local
+
+
+def frames_map_locally(s: int, hw: int, cp: int) -> bool:
+    """Can a (B, T*hw, D) stream split into ``cp`` contiguous token blocks be
+    frame-modulated shard-locally?"""
+    if s % cp:
+        return False
+    s_local = s // cp
+    return s_local % hw == 0 or hw % s_local == 0
+
+
+def _framewise_sharded(local_fn, mesh, streams, mods, hw: int):
+    """Run a frame-modulated elementwise op under shard_map.
+
+    streams: (B, S, D) tensors sharded P(batch, context, None);
+    mods: (B, T, D) tensors, replicated in and sliced per shard.
+    Returns None when the layout cannot be mapped (caller falls back to the
+    GSPMD-partitionable jnp formulation).
+    """
+    b, s, _ = streams[0].shape
+    cp = mesh.shape.get("context", 1)
+    cp_ok = cp > 1 and s % cp == 0
+    if cp_ok and not frames_map_locally(s, hw, cp):
+        return None
+    batch = _mesh_batch_axes(mesh, b)
+    bspec = batch if batch else None
+    xspec = P(bspec, "context" if cp_ok else None, None)
+    mspec = P(bspec, None, None)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(tuple(xspec for _ in streams), tuple(mspec for _ in mods)),
+        out_specs=xspec, check_vma=False)
+    def run(streams_l, mods_l):
+        hw_l = hw
+        if cp_ok:
+            mods_l, hw_l = local_frame_slice(
+                mods_l, hw, streams_l[0].shape[1], "context")
+        return local_fn(*streams_l, *mods_l, hw_l)
+
+    return run(tuple(streams), tuple(mods))

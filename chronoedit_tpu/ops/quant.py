@@ -81,22 +81,49 @@ _BLOCK_LINEARS = (
 )
 
 
-def quantize_dit_params(params: Params) -> Params:
+def quantize_dit_params(params: Params,
+                        skip: tuple[tuple[str, str], ...] = ()) -> Params:
     """Quantize the stacked DiT block projections in-place-shaped: returns a
     new pytree where each targeted linear carries ``kernel_q``/``kernel_scale``
     instead of ``kernel``. Stacked (L, in, out) kernels get per-(layer, out)
-    scales via vmap."""
+    scales via vmap.
+
+    ``skip`` lists (module, name) projections to keep bf16 — the sensitivity
+    escape hatch when the int8 PSNR gate fails for a given checkpoint (use
+    :func:`rank_projection_sensitivity` to pick). Per-*projection* rather
+    than per-layer granularity: the scan over weight-stacked blocks needs a
+    homogeneous pytree across layers, so a projection is either int8 in
+    every layer or bf16 in every layer."""
     out = dict(params)
     blocks = {k: (dict(v) if isinstance(v, dict) else v)
               for k, v in params["blocks"].items()}
     for mod, name in _BLOCK_LINEARS:
         if mod not in blocks or name not in blocks[mod]:
             continue
+        if (mod, name) in skip:
+            continue
+        if is_quantized(blocks[mod][name]):
+            continue  # idempotent: pipeline.quantize() may be called twice
         sub = dict(blocks[mod])
         sub[name] = jax.vmap(quantize_linear_params)(sub[name])
         blocks[mod] = sub
     out["blocks"] = blocks
     return out
+
+
+def rank_projection_sensitivity(params: Params) -> list[tuple[tuple[str, str], float]]:
+    """Rank the quantizable projections by weight-quantization error (worst
+    first): max over layers of the per-channel relative int8 error. Feed the
+    top-K into ``quantize_dit_params(skip=...)`` when a checkpoint fails the
+    pipeline-level PSNR gate (docs/SERVING.md)."""
+    scores = []
+    for mod, name in _BLOCK_LINEARS:
+        sub = params["blocks"].get(mod, {})
+        if name not in sub or is_quantized(sub[name]):
+            continue
+        errs = jax.vmap(lambda p: quantization_error_j(p))(sub[name])
+        scores.append(((mod, name), float(jnp.max(errs))))
+    return sorted(scores, key=lambda kv: -kv[1])
 
 
 def dequantize_linear_params(p: Params) -> Params:
@@ -109,9 +136,14 @@ def dequantize_linear_params(p: Params) -> Params:
     return out
 
 
-def quantization_error(p: Params) -> float:
-    """Max relative per-channel weight error introduced by int8 (diagnostic)."""
+def quantization_error_j(p: Params) -> jnp.ndarray:
+    """Max relative per-channel weight error introduced by int8 (traced)."""
     deq = dequantize_linear_params(quantize_linear_params(p))["kernel"]
     k = p["kernel"].astype(jnp.float32)
     denom = jnp.maximum(jnp.max(jnp.abs(k), axis=0), _EPS)
-    return float(jnp.max(jnp.max(jnp.abs(deq - k), axis=0) / denom))
+    return jnp.max(jnp.max(jnp.abs(deq - k), axis=0) / denom)
+
+
+def quantization_error(p: Params) -> float:
+    """Host-side :func:`quantization_error_j` (diagnostic)."""
+    return float(quantization_error_j(p))

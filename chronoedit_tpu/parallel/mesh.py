@@ -32,6 +32,21 @@ MESH_AXES = (AXIS_PIPE, AXIS_DATA, AXIS_FSDP, AXIS_TENSOR, AXIS_CONTEXT)
 
 
 @dataclasses.dataclass(frozen=True)
+class InnerAxes:
+    """Marker passed in place of a Mesh to code already running INSIDE a
+    shard_map: "use collectives over these axis *names*, don't open another
+    shard_map".  dit_block accepts it so pipeline stages (shard_mapped over
+    ``pipe``) can run context-parallel attention over the ``context`` axis
+    name and keep Pallas kernels local (pipeline_parallel.gpipe_scan with
+    ``context_axis=``).  ``getattr(inner, "size", 1) == 1`` by design, so
+    mesh-gated dispatchers (fused norms, attention wrappers) treat it as
+    single-device and stay shard-local."""
+
+    context: str | None = None
+    context_size: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
 class MeshConfig:
     """Parallelism degrees. -1 for ``data`` means "all remaining devices"."""
 

@@ -40,6 +40,8 @@ def gpipe_scan(
     mesh: Mesh,
     microbatches: int | None = None,
     axis: str = AXIS_PIPE,
+    context_axis: str | None = None,
+    context_dim: int = 1,
 ) -> jnp.ndarray:
     """Run a stacked-layer scan as a GPipe pipeline over ``axis``.
 
@@ -54,8 +56,16 @@ def gpipe_scan(
         (time embeddings, text/image context — anything batch-dependent).
       mesh: mesh containing ``axis``.
       microbatches: default min(B, n_stages).
+      context_axis: compose with context parallelism — ``x``'s dim
+        ``context_dim`` is sharded over this mesh axis *inside* stages, and
+        ``block_fn`` runs on the context-local slice (it must handle CP
+        itself, e.g. ring/Ulysses attention over the axis name and
+        frame-local modulation; dit_forward's PP path does). ``ctx_batch``
+        stays replicated over the context axis — slice it in ``block_fn``.
+      context_dim: which dim of ``x`` is the (token) dim to context-shard.
 
-    Returns: (B, ...) outputs, replicated over ``axis``.
+    Returns: (B, ...) outputs, replicated over ``axis`` (and gathered over
+    ``context_axis`` only by the caller's downstream sharding).
     """
     n = mesh.shape[axis]
     if n == 1:
@@ -74,11 +84,18 @@ def gpipe_scan(
     # compose with the data axis: microbatches are batch-sharded over
     # ``data`` inside the shard_map, so DP keeps its speedup under PP
     # (round-2 review: P() in_specs replicated the global batch onto every
-    # device). tensor/context stay replicated inside stages — warn, since
-    # attention runs mesh-less within a shard_mapped stage.
+    # device). context composes via ``context_axis`` (tokens sharded inside
+    # stages, CP attention over the axis name); tensor stays replicated
+    # inside stages — warn about layouts that silently replicate work.
     import warnings
 
-    for neutral in ("tensor", "context"):
+    cp = mesh.shape.get(context_axis, 1) if context_axis else 1
+    shard_ctx = (context_axis is not None and cp > 1
+                 and x.shape[context_dim] % cp == 0)
+    neutral_axes = ["tensor"]
+    if mesh.shape.get("context", 1) > 1 and not shard_ctx:
+        neutral_axes.append("context")
+    for neutral in neutral_axes:
         if mesh.shape.get(neutral, 1) > 1:
             warnings.warn(
                 f"pipeline parallelism replicates the {neutral!r} axis "
@@ -112,17 +129,23 @@ def gpipe_scan(
     ctxm = jax.tree_util.tree_map(split, ctx_batch)
 
     # stacked params sharded over the pipe axis; activations/ctx sharded
-    # over data on the microbatch dim (replicated over other axes)
+    # over data on the microbatch dim (replicated over other axes); with
+    # ``context_axis``, x's token dim is additionally context-sharded while
+    # ctx stays replicated (block_fn slices it per shard)
     lead_pipe = jax.tree_util.tree_map(
         lambda a: P(axis, *([None] * (a.ndim - 1))), stacked_params)
     bspec = ("data",) if shard_data else (None,)
-    act_spec = jax.tree_util.tree_map(
-        lambda a: P(None, *bspec, *([None] * (a.ndim - 2))), (xm, ctxm))
+    xdims = [None] * (xm.ndim - 2)
+    if shard_ctx:
+        xdims[context_dim - 1] = context_axis  # -1: dims after (M, mb)
+    x_spec = P(None, *bspec, *xdims)
+    ctx_spec = jax.tree_util.tree_map(
+        lambda a: P(None, *bspec, *([None] * (a.ndim - 2))), ctxm)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(lead_pipe, act_spec[0], act_spec[1]),
-        out_specs=P(None, *bspec),
+        in_specs=(lead_pipe, x_spec, ctx_spec),
+        out_specs=x_spec,
         check_vma=False)
     def run(local_params, xm, ctxm):
         stage = jax.lax.axis_index(axis)

@@ -125,14 +125,18 @@ class ChronoEditPipeline:
         self.mesh = mesh
         self._jit_cache: dict = {}
 
-    def quantize(self) -> "ChronoEditPipeline":
+    def quantize(self, skip: tuple = ()) -> "ChronoEditPipeline":
         """Switch the DiT to the int8 w8a8 serving path (ops/quant.py):
         block projections become int8 with per-channel scales, attention and
         the conditioning/head edges stay bf16. Re-shard afterwards if a mesh
-        is attached. Returns self."""
+        is attached. Returns self.
+
+        ``skip``: (module, name) projections to keep bf16 — the sensitivity
+        escape hatch when a checkpoint fails the int8 PSNR gate
+        (docs/SERVING.md; ops.quant.rank_projection_sensitivity)."""
         from chronoedit_tpu.ops.quant import quantize_dit_params
 
-        self.dit_params = quantize_dit_params(self.dit_params)
+        self.dit_params = quantize_dit_params(self.dit_params, skip=skip)
         if self.mesh is not None:
             from chronoedit_tpu.parallel.sharding import shard_params
 

@@ -173,10 +173,15 @@ class Trainer:
                 pending.append((it, metrics["loss"]))
                 save_due = (self.checkpoints is not None
                             and (it + 1) % self.cfg.save_every == 0)
-                # flush at the batch boundary, before any save, and at end —
-                # one host sync per nan_abort_after steps instead of per step
+                # validation must also see flushed (finite-checked) params:
+                # without this, a poisoned step could reach _run_validation
+                # and burn a cross-host barrier on bogus val_loss (advisor r2)
+                val_due = (val_data is not None and self.cfg.validate_every > 0
+                           and (it + 1) % self.cfg.validate_every == 0)
+                # flush at the batch boundary, before any save/validate, and
+                # at end — one host sync per nan_abort_after steps
                 if (len(pending) >= self.cfg.nan_abort_after or save_due
-                        or it == self.cfg.max_iter - 1):
+                        or val_due or it == self.cfg.max_iter - 1):
                     rewound = False
                     for pit, loss_dev in pending:
                         finite = bool(jnp.isfinite(

@@ -120,12 +120,24 @@ class HTTPBackend(Backend):
         return urlopen(f"{self.scheme}://{path}", timeout=self.timeout)
 
     def exists(self, path):
+        from urllib.error import HTTPError
         from urllib.request import Request, urlopen
 
+        url = f"{self.scheme}://{path}"
         try:  # HEAD, not a full GET
-            urlopen(Request(f"{self.scheme}://{path}", method="HEAD"),
-                    timeout=self.timeout)
+            urlopen(Request(url, method="HEAD"), timeout=self.timeout)
             return True
+        except HTTPError as e:
+            if e.code == 404:
+                return False
+            # servers that reject HEAD (405/403 on signed URLs): probe with
+            # a 1-byte ranged GET before reporting missing (advisor r2)
+            try:
+                urlopen(Request(url, headers={"Range": "bytes=0-0"}),
+                        timeout=self.timeout)
+                return True
+            except Exception:
+                return False
         except Exception:
             return False
 

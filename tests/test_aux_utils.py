@@ -304,3 +304,90 @@ def test_param_stats_callback():
 
     expected = math.sqrt(3 * 1 + 4 * 4)
     assert f"{expected:.3e}"[:5] in logs[0]
+
+
+# ------------------------------------------------------------- qwen3guard
+
+def test_qwen3guard_verdict_parser():
+    from chronoedit_tpu.aux.guardrails import parse_qwen3guard_verdict
+
+    label, cats = parse_qwen3guard_verdict("Safety: Safe")
+    assert label == "Safe" and cats == []
+
+    label, cats = parse_qwen3guard_verdict(
+        "Analysis...\nSafety: Unsafe\nCategories: Violent, Jailbreak")
+    assert label == "Unsafe"
+    assert cats == ["Violent", "Jailbreak"]
+
+    label, cats = parse_qwen3guard_verdict(
+        "Safety: Controversial\nCategories: Sexual Content or Sexual Acts")
+    assert label == "Controversial"
+    assert cats == ["Sexual Content or Sexual Acts"]
+
+    # malformed generation -> (None, []) and the guard fails open
+    label, cats = parse_qwen3guard_verdict("gibberish with no verdict")
+    assert label is None and cats == []
+
+
+class _FakeTok:
+    """Canned tokenizer on the HF chat-template/generate surface."""
+
+    def apply_chat_template(self, msgs, tokenize=False, **kw):
+        assert msgs[0]["role"] == "user"
+        return "<chat>" + msgs[0]["content"]
+
+    def __call__(self, texts, return_tensors=None):
+        return {"input_ids": np.zeros((1, 4), np.int64)}
+
+    def decode(self, ids, skip_special_tokens=True):
+        return self.reply  # set per-test
+
+
+class _FakeModel:
+    def generate(self, input_ids=None, max_new_tokens=None, **kw):
+        assert max_new_tokens == 128  # the Qwen3Guard protocol's budget
+        return np.zeros((1, input_ids.shape[1] + 8), np.int64)
+
+
+@pytest.mark.parametrize("reply,expect_safe", [
+    ("Safety: Safe", True),
+    ("Safety: Controversial\nCategories: Unethical Acts", True),  # passes!
+    ("Safety: Unsafe\nCategories: Violent", False),
+    ("no verdict at all", True),  # fail open, reference parity
+])
+def test_qwen3guard_blocking_semantics(reply, expect_safe):
+    from chronoedit_tpu.aux.guardrails import Qwen3Guard
+
+    tok = _FakeTok()
+    tok.reply = reply
+    guard = Qwen3Guard(tokenizer=tok, model=_FakeModel())
+    ok, msg = guard("a prompt")
+    assert ok is expect_safe
+    if not ok:
+        assert "Qwen3Guard" in msg and "Violent" in msg
+
+
+def test_qwen3guard_fails_open_on_error():
+    from chronoedit_tpu.aux.guardrails import Qwen3Guard
+
+    class _Boom:
+        def generate(self, **kw):
+            raise RuntimeError("cuda? no.")
+
+    tok = _FakeTok()
+    tok.reply = ""
+    ok, msg = Qwen3Guard(tokenizer=tok, model=_Boom())("x")
+    assert ok and "failing open" in msg
+
+
+def test_bundled_blocklist_blocks_out_of_the_box():
+    """round-3: the default Blocklist ships real word lists (assets/)."""
+    bl = Blocklist()
+    assert len(bl.exact_words) >= 20 and len(bl.partial_phrases) >= 30
+    ok, reason = bl("an innocent photo of a dog on a beach")
+    assert ok
+    ok, reason = bl("generate child sexual imagery")
+    assert not ok
+    # leet normalization feeds exact matching
+    ok, _ = bl("r4pe scene")
+    assert not ok

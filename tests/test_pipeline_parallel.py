@@ -50,6 +50,47 @@ def test_gpipe_scan_matches_plain_scan():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.parametrize("cp_mode", ["ulysses", "ring"])
+def test_dit_pipe_context_composed(cp_mode):
+    """PP x CP (round-3, VERDICT #5): tokens context-sharded INSIDE pipeline
+    stages, ring/Ulysses attention over the context axis name, per-frame
+    modulation and RoPE sliced to the shard — must bit-match the
+    single-device forward."""
+    cfg = dataclasses.replace(TINY, context_parallel=cp_mode)
+    params = _randomize(dit_lib.init_dit_params(jax.random.PRNGKey(0), cfg),
+                        jax.random.PRNGKey(1))
+    x, ts, text, img = _inputs(cfg, b=4)
+    args = [jnp.asarray(x), jnp.asarray(ts), jnp.asarray(text), jnp.asarray(img)]
+    ref = dit_lib.dit_forward(params, cfg, *args)
+
+    mesh = make_mesh(MeshConfig(data=2, pipe=2, context=2))
+    sharded = shard_params(params, mesh, dit_param_sharding(mesh))
+    with mesh:
+        fwd = jax.jit(lambda p, *a: dit_lib.dit_forward(p, cfg, *a, mesh=mesh))
+        out = fwd(sharded, *args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_dit_pipe_context_reasoning_shape():
+    """8-frame (temporal-reasoning) geometry under a pipe x context mesh:
+    whole-frames-per-shard regime of the in-stage frame slicing."""
+    cfg = TINY
+    params = _randomize(dit_lib.init_dit_params(jax.random.PRNGKey(2), cfg),
+                        jax.random.PRNGKey(3))
+    x, ts, text, img = _inputs(cfg, b=2, t=8)
+    args = [jnp.asarray(x), jnp.asarray(ts), jnp.asarray(text), jnp.asarray(img)]
+    ref = dit_lib.dit_forward(params, cfg, *args)
+
+    mesh = make_mesh(MeshConfig(data=1, pipe=2, context=4))
+    sharded = shard_params(params, mesh, dit_param_sharding(mesh))
+    with mesh:
+        fwd = jax.jit(lambda p, *a: dit_lib.dit_forward(p, cfg, *a, mesh=mesh))
+        out = fwd(sharded, *args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("pipe,layer_mask", [(2, False), (4, False), (2, True)])
 def test_dit_pipeline_parallel_matches_single_device(pipe, layer_mask):
     cfg = dataclasses.replace(TINY, num_layers=4) if pipe == 4 else TINY

@@ -145,3 +145,77 @@ def test_pipeline_runs_quantized():
                         jnp.float32)
     out = pipe(image, prompt, image_emb=img_emb, key=jax.random.PRNGKey(2))
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+# ------------------------------------------------- pipeline-level PSNR gate
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    peak = float(np.abs(b).max())
+    return 10 * np.log10(peak * peak / mse)
+
+
+def _tiny_pipe_run(quantize: bool, skip: tuple = ()):
+    from chronoedit_tpu.configs import chronoedit_tiny
+    from chronoedit_tpu.models import dit as dit_lib
+    from chronoedit_tpu.models import vae as vae_lib
+    from chronoedit_tpu.pipeline.edit_pipeline import ChronoEditPipeline
+    from tests.test_dit import _randomize
+
+    cfg = chronoedit_tiny()
+    # _randomize: init_dit_params zero-inits the output head, which would
+    # make the velocity (and hence the gate) identically zero in both
+    # precisions — a vacuous inf-dB comparison
+    dit_params = _randomize(
+        dit_lib.init_dit_params(jax.random.PRNGKey(0), cfg.dit),
+        jax.random.PRNGKey(7))
+    vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), cfg.vae)
+    pipe = ChronoEditPipeline(cfg, dit_params, vae_params)
+    if quantize:
+        pipe.quantize(skip=skip)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
+    image = jax.random.uniform(k1, (1, 3, 32, 64), jnp.float32, -1, 1)
+    prompt = jax.random.normal(k2, (1, 6, cfg.dit.text_dim))
+    img_emb = jax.random.normal(
+        k3, (1, cfg.dit.image_tokens, cfg.dit.image_dim))
+    return np.asarray(pipe(image, prompt, image_emb=img_emb,
+                           key=jax.random.PRNGKey(5)), np.float32)
+
+
+def test_int8_pipeline_psnr_gate():
+    """Quality gate for the int8 serving recommendation (round-3, VERDICT
+    #4): the FULL pipeline (8-step denoise + VAE decode) with int8 w8a8
+    projections must stay within a PSNR bound of the bf16 pipeline at tiny
+    geometry.  docs/SERVING.md quotes this bound next to the int8 serving
+    recipe; real checkpoints re-run this gate via tools/parity_harness.py."""
+    ref = _tiny_pipe_run(quantize=False)
+    q = _tiny_pipe_run(quantize=True)
+    db = _psnr(q, ref)
+    print(f"int8-vs-bf16 pipeline PSNR: {db:.1f} dB")
+    assert db >= 30.0, f"int8 pipeline PSNR {db:.1f} dB below the 30 dB gate"
+
+
+def test_int8_skip_escape_hatch():
+    """Per-projection bf16 escape hatch: skipped projections keep their
+    float kernels and the pipeline PSNR cannot get worse."""
+    from chronoedit_tpu.configs import chronoedit_tiny
+    from chronoedit_tpu.models import dit as dit_lib
+    from chronoedit_tpu.ops.quant import (
+        is_quantized, rank_projection_sensitivity)
+
+    cfg = chronoedit_tiny()
+    params = dit_lib.init_dit_params(jax.random.PRNGKey(0), cfg.dit)
+    ranked = rank_projection_sensitivity(params)
+    assert ranked and all(s > 0 for _, s in ranked)
+    worst = ranked[0][0]
+    q = quantize_dit_params(params, skip=(worst,))
+    assert not is_quantized(q["blocks"][worst[0]][worst[1]])
+    others = [k for (k, _) in ranked[1:]]
+    assert all(is_quantized(q["blocks"][m][n]) for m, n in others)
+
+    ref = _tiny_pipe_run(quantize=False)
+    q_all = _tiny_pipe_run(quantize=True)
+    q_skip = _tiny_pipe_run(quantize=True, skip=(worst,))
+    assert _psnr(q_skip, ref) >= _psnr(q_all, ref) - 0.5  # no regression

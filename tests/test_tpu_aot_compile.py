@@ -69,6 +69,41 @@ def test_tp_cp_mesh_compiles_for_v5e(tmp_path):
     # in round 2 — the multi-device-world guard degraded the CP inner path)
     hlo = open(hlo_path).read()
     assert "tpu_custom_call" in hlo, "no Mosaic kernel in the sharded program"
+    # the fused norm kernels must ALSO survive sharding (round-3: they run
+    # inside their own shard_maps instead of degrading to plain XLA norms).
+    # Signature: the LN+modulate pallas_call takes the bf16 token stream plus
+    # two f32 (B, T_local, D) modulation operands sliced to the shard's
+    # frames — no other kernel has two f32[1,1,D] inputs.
+    import re
+
+    lnmod_calls = [
+        ln for ln in hlo.splitlines()
+        if "tpu_custom_call" in ln
+        and len(re.findall(r"f32\[1,1,\d+\]", ln.split("metadata")[0])) >= 2
+    ]
+    assert lnmod_calls, "fused LN+modulate kernel missing from sharded HLO"
+    # 2x lnmod + 2x gated-residual per block + head lnmod + attention:
+    # well above the attention-only count (3) of the plain-norm program
+    assert hlo.count("tpu_custom_call") >= 8, (
+        f"too few Mosaic kernels ({hlo.count('tpu_custom_call')}) — fused "
+        "norms likely degraded to plain XLA in the sharded program")
+
+
+def test_pipe_context_mesh_compiles_for_v5e(tmp_path):
+    """pipe x context (round-3, VERDICT #5): context-parallel attention runs
+    INSIDE pipeline stages.  The compiled v5e program must contain both the
+    pipe handoffs (collective-permute) and the in-stage CP attention
+    resharding (all-to-all: Ulysses, since the 2 stage-local heads divide
+    cp=2), plus Mosaic kernels (flash attention + fused norms per stage)."""
+    hlo_path = str(tmp_path / "ppcp.hlo")
+    rep = _compile("pipe=2,context=2", batch=2, dump_hlo=hlo_path)
+    assert rep["backend"] == "tpu-aot"
+    assert "collective-permute" in rep["per_op"], "no pipe handoffs"
+    assert "all-to-all" in rep["per_op"], (
+        "no in-stage Ulysses resharding — context axis replicated in stages")
+    hlo = open(hlo_path).read()
+    assert hlo.count("tpu_custom_call") >= 8, (
+        "Pallas kernels missing inside pipeline stages")
 
 
 def test_dp_fsdp_mesh_compiles_for_v5e():

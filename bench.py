@@ -29,8 +29,9 @@ Wall-time discipline (round-3, VERDICT #1 — BENCH_r02 died at the driver's
 limit with no JSON emitted):
 
 - every stage runs under one global deadline (CHRONOEDIT_BENCH_BUDGET_S,
-  default 1260 s); AOT-walk subprocesses get ``min(cap, remaining)``
-  timeouts and are skipped outright when the budget is nearly spent;
+  default 2100 s — the driver's kill appears to be ~2700 s, r2 memory);
+  AOT-walk subprocesses get ``min(cap, remaining)`` timeouts and are
+  skipped outright when the budget is nearly spent;
 - feasibility/collective results persist to ``bench_cache.json`` (committed)
   — the expensive uncachable compiles are the *failed* (HBM-infeasible)
   ones, which the XLA persistent cache cannot help with; repeat runs skip
@@ -82,7 +83,7 @@ _WIRE_FACTOR = {
 }
 
 _T0 = time.monotonic()
-BUDGET_S = float(os.environ.get("CHRONOEDIT_BENCH_BUDGET_S", 1260))
+BUDGET_S = float(os.environ.get("CHRONOEDIT_BENCH_BUDGET_S", 2100))
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _CACHE_PATH = os.path.join(_HERE, "bench_cache.json")
 # bump when the sharded program materially changes (new collectives/kernels):

@@ -275,6 +275,38 @@ class StepTimeoutWatchdog(Callback):
                     f"training step {step} took {dt:.0f}s > {self.timeout_s:.0f}s")
 
 
+class ReplicaConsistencyCallback(Callback):
+    """Periodic replica-divergence check on the training state — the SPMD
+    analog of a race sanitizer (parallel/consistency.py; SURVEY §5.2).
+
+    Every ``every_n`` steps, every replicated leaf of the train state is
+    hashed per addressable shard; replicas covering the same global index
+    must be bitwise identical.  Divergence (nondeterministic collective,
+    host-dependent state leaking into "replicated" params, restore race)
+    raises by default — the failure is silent otherwise and compounds every
+    step."""
+
+    def __init__(self, every_n: int = 2000, abort: bool = True):
+        self.every_n = every_n
+        self.abort = abort
+
+    def on_step_end(self, trainer, step, metrics):
+        if (step + 1) % self.every_n:
+            return
+        from chronoedit_tpu.parallel.consistency import check_replica_consistency
+
+        state = getattr(trainer, "_last_state", None)
+        if state is None:
+            return
+        bad = check_replica_consistency(state)
+        if bad:
+            msg = (f"replica divergence at step {step} in {len(bad)} "
+                   f"leaves: {bad[:5]}")
+            if self.abort:
+                raise RuntimeError(msg)
+            print(f"[consistency] WARNING {msg}")
+
+
 class StragglerDetector(Callback):
     """Cross-host straggler detection (StragglerDetectorV2, misc.py:539-620).
 

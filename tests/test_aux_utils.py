@@ -192,6 +192,7 @@ def test_straggler_detector_flags_and_raises():
     det3.on_step_end(None, 1, {})
 
 
+@pytest.mark.slow
 def test_llm_text_guard_with_real_tiny_model():
     """LLMTextGuard drives a *real* HF causal LM (randomly initialized tiny
     GPT-2, no download) end-to-end: chat template -> generate -> verdict

@@ -14,6 +14,8 @@ from chronoedit_tpu.models import vae as vae_lib
 from chronoedit_tpu.pipeline import ChronoEditPipeline
 from tests.test_dit import TINY, _inputs, _randomize
 
+pytestmark = pytest.mark.slow  # full tier: heavy crosscheck/e2e/compile
+
 
 def test_cache_refresh_every_step_is_exact():
     cfg = dataclasses.replace(TINY, num_layers=4)

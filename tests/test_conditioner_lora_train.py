@@ -12,6 +12,9 @@ from chronoedit_tpu.models.conditioner import CondSpec, Conditioner, edit_condit
 from chronoedit_tpu.pipeline.edit_pipeline import ChronoEditPipeline
 from chronoedit_tpu.train import TrainConfig
 from chronoedit_tpu.train.lora_train import make_lora_train_state, make_lora_train_step
+import pytest
+
+pytestmark = pytest.mark.slow  # full tier: heavy crosscheck/e2e/compile
 
 
 def test_conditioner_dropout_statistics():

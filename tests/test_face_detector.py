@@ -182,6 +182,7 @@ def test_forward_matches_with_module_prefix(oracle):
     assert np.isfinite(np.asarray(loc)).all()
 
 
+@pytest.mark.slow
 def test_prior_boxes_match_reference_formula():
     cfg = TINY
     h, w = 64, 96

@@ -65,6 +65,7 @@ def test_rms_sharded_tensor_psum():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_lnmod_sharded_grads():
     mesh = _mesh((2, 4), ("tensor", "context"))
     x, sc, sh = _data(2, 64, key=4)

@@ -90,6 +90,7 @@ def _write_vae_pth(path, params):
     torch.save(sd, path)
 
 
+@pytest.mark.slow
 def test_load_pipeline_from_synthesized_checkpoint(tmp_path):
     from safetensors.numpy import save_file
 

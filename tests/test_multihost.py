@@ -13,6 +13,9 @@ import textwrap
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # full tier: heavy crosscheck/e2e/compile
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

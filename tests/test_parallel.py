@@ -29,6 +29,7 @@ def test_mesh_construction():
         make_mesh(MeshConfig(data=3, context=3))
 
 
+@pytest.mark.slow
 def test_ring_attention_matches_dense():
     mesh = make_mesh(MeshConfig(data=1, context=8))
     q, k, v = _qkv()
@@ -83,6 +84,7 @@ def test_sharded_dit_matches_single_device(cfgname, meshcfg):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_flash_ring_attention_matches_dense_with_grads():
     """D=128 routes ring attention through the Pallas flash hops (interpret
     mode on CPU) with the custom global-lse VJP — fwd and all three grads
@@ -105,6 +107,7 @@ def test_flash_ring_attention_matches_dense_with_grads():
                                    atol=1e-4 * scale, err_msg=f"d{name}")
 
 
+@pytest.mark.slow
 def test_flash_kernel_interpret_matches_xla():
     """The Pallas kernels run in interpret mode on CPU: fwd + bwd vs XLA,
     covering both the VMEM-resident and the streamed-KV paths."""

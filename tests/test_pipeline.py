@@ -58,6 +58,7 @@ def test_edit_pipeline_end_to_end(tiny_pipeline):
     assert frame.shape == (1, 3, 8, 8)
 
 
+@pytest.mark.slow
 def test_cfg_batched_equals_sequential(tiny_pipeline):
     """Batched CFG (one 2B forward) must equal two sequential forwards."""
     cfg = tiny_pipeline.config
@@ -75,6 +76,7 @@ def test_cfg_batched_equals_sequential(tiny_pipeline):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_temporal_reasoning_mode(tiny_pipeline):
     """Reasoning mode: start with a longer clip, drop to [first, last] after
     k steps; output is the 2-latent-frame edit clip."""

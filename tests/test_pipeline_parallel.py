@@ -15,6 +15,7 @@ from chronoedit_tpu.parallel.sharding import dit_param_sharding
 from tests.test_dit import TINY, _inputs, _randomize
 
 
+@pytest.mark.slow
 def test_gpipe_scan_matches_plain_scan():
     """Generic harness: toy per-layer affine blocks, 4 stages, grads too."""
     mesh = make_mesh(MeshConfig(data=2, pipe=4))
@@ -72,6 +73,7 @@ def test_dit_pipe_context_composed(cp_mode):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_dit_pipe_context_reasoning_shape():
     """8-frame (temporal-reasoning) geometry under a pipe x context mesh:
     whole-frames-per-shard regime of the in-stage frame slicing."""

@@ -184,6 +184,7 @@ def _tiny_pipe_run(quantize: bool, skip: tuple = ()):
                            key=jax.random.PRNGKey(5)), np.float32)
 
 
+@pytest.mark.slow
 def test_int8_pipeline_psnr_gate():
     """Quality gate for the int8 serving recommendation (round-3, VERDICT
     #4): the FULL pipeline (8-step denoise + VAE decode) with int8 w8a8
@@ -197,6 +198,7 @@ def test_int8_pipeline_psnr_gate():
     assert db >= 30.0, f"int8 pipeline PSNR {db:.1f} dB below the 30 dB gate"
 
 
+@pytest.mark.slow
 def test_int8_skip_escape_hatch():
     """Per-projection bf16 escape hatch: skipped projections keep their
     float kernels and the pipeline PSNR cannot get worse."""

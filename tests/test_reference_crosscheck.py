@@ -16,6 +16,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full tier: heavy crosscheck/e2e/compile
+
 REFERENCE = "/root/reference"
 
 

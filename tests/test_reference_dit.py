@@ -24,6 +24,8 @@ import pytest
 
 from tests.test_reference_crosscheck import REFERENCE, _stub_modules
 
+pytestmark = pytest.mark.slow  # full tier: heavy crosscheck/e2e/compile
+
 
 def _stub_te_and_flash():
     import importlib.machinery

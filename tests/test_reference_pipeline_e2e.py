@@ -25,6 +25,8 @@ from tests.test_reference_crosscheck import REFERENCE, _stub_modules
 from tests.test_reference_dit import _stub_te_and_flash
 from tests.test_reference_unipc import _stub_diffusers
 
+pytestmark = pytest.mark.slow  # full tier: heavy crosscheck/e2e/compile
+
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))

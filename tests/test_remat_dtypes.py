@@ -16,6 +16,7 @@ def _loss(params, cfg, args):
     return jnp.sum(out.astype(jnp.float32) ** 2)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["full", "matmul_only"])
 def test_remat_modes_match_values_and_grads(mode):
     """jax.checkpoint policies must not change math — only memory."""
@@ -33,6 +34,7 @@ def test_remat_modes_match_values_and_grads(mode):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_bf16_compute_close_to_fp32():
     """bf16 stream with fp32 norms (the production dtype policy) stays close
     to the all-fp32 forward."""

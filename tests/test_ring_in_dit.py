@@ -51,6 +51,7 @@ def test_tp_head_sharded_attention_matches_reference():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_cp_falls_back_when_seq_indivisible():
     """Sequence not divisible by the context size -> dense attention path,
     same result."""

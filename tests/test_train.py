@@ -13,6 +13,9 @@ from chronoedit_tpu.train import (
     TrainConfig, edit_training_batch, make_train_state, make_train_step,
 )
 from chronoedit_tpu.train.ema import EMAConfig, ema_update, power_ema_beta
+import pytest
+
+pytestmark = pytest.mark.slow  # full tier: heavy crosscheck/e2e/compile
 
 
 def _setup():

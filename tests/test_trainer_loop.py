@@ -12,6 +12,10 @@ from chronoedit_tpu.train.callbacks import Callback
 from chronoedit_tpu.train.checkpoint import CheckpointConfig
 from chronoedit_tpu.train.trainer import Trainer, TrainerConfig
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full tier: heavy crosscheck/e2e/compile
+
 
 class Recorder(Callback):
     def __init__(self):

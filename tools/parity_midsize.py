@@ -132,7 +132,15 @@ def main():
 
     stages: dict[str, float] = {}
 
-    # ---- reference rollout with per-stage dumps
+    # ---- reference rollout with per-stage dumps.  z_dim == 16 engages the
+    # Wan latent-statistics normalization on our side (models/vae.py:393),
+    # so the reference must be driven with the same scale=[mean, 1/std] the
+    # real reference pipeline uses (wan2pt1.py:502-549) — scale=[0.0, 1.0]
+    # here produced a spurious 5.8 dB "mismatch" in the first run.
+    from chronoedit_tpu.models.vae import WAN_LATENT_MEAN, WAN_LATENT_STD
+
+    ref_scale = [torch.tensor(WAN_LATENT_MEAN, dtype=torch.float32),
+                 1.0 / torch.tensor(WAN_LATENT_STD, dtype=torch.float32)]
     tfac = 4
     with torch.no_grad():
         print(f"[parity] reference VAE encode ... ({time.time()-t0:.0f}s)",
@@ -140,7 +148,7 @@ def main():
         video_cond = torch.cat(
             [torch.from_numpy(image).unsqueeze(2),
              torch.zeros(1, 3, num_frames - 1, px, px)], dim=2)
-        cond_lat = ref_vae.encode(video_cond, scale=[0.0, 1.0])
+        cond_lat = ref_vae.encode(video_cond, scale=ref_scale)
         mask = torch.ones(1, 1, num_frames, hl, wl)
         mask[:, :, 1:] = 0
         ff = torch.repeat_interleave(mask[:, :, 0:1], dim=2, repeats=tfac)
@@ -167,7 +175,7 @@ def main():
         ref_lat = lat.numpy().copy()
         print(f"[parity] reference VAE decode ... ({time.time()-t0:.0f}s)",
               flush=True)
-        ref_pixels = ref_vae.decode(lat, scale=[0.0, 1.0]).numpy()
+        ref_pixels = ref_vae.decode(lat, scale=ref_scale).numpy()
 
     # ---- our side, stage by stage (same weights/inputs)
     from chronoedit_tpu.pipeline.edit_pipeline import prepare_condition

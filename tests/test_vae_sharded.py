@@ -4,6 +4,7 @@ halo exchange correctness on the virtual 8-device mesh)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from chronoedit_tpu.models import vae as vae_lib
 from chronoedit_tpu.parallel import MeshConfig, make_mesh
@@ -28,6 +29,7 @@ def test_sharded_vae_encode_decode_match():
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sharded_vae_indivisible_h_falls_back():
     params = vae_lib.init_vae_params(jax.random.PRNGKey(0), TINY)
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 3, 20, 16))  # H=20 % 8 != 0

@@ -228,13 +228,15 @@ def bench_vae_s() -> dict:
 
 def _init_quantized_dit(dit_cfg):
     """Build a quantized DiT param tree WITHOUT materializing the full bf16
-    stack first: one layer is initialized + quantized on device at a time
-    and accumulated on host, then the int8/bf16 stack transfers once.  The
-    naive init-then-quantize path peaks at bf16+int8 residency (42 GB at 40
-    layers) and OOMed even 10-layer attempts on a 16 GB chip."""
+    stack first: the int8 stack is preallocated on device and one layer at a
+    time is initialized, quantized, and written in with a donated
+    dynamic-update-slice (peak residency = int8 stack + one bf16 layer's
+    init workspace). The naive init-then-quantize path peaks at bf16+int8
+    residency (42 GB at 40 layers) and OOMed even 10-layer attempts on a
+    16 GB chip; a host-side accumulate works but moves the full stack twice
+    through the tunneled device link (~4 min at 20 layers)."""
     import dataclasses as dc
-
-    import numpy as np
+    from functools import partial
 
     from chronoedit_tpu.models import dit as dit_lib
     from chronoedit_tpu.ops.quant import quantize_dit_params
@@ -242,15 +244,27 @@ def _init_quantized_dit(dit_cfg):
     one = dc.replace(dit_cfg, num_layers=1)
     qinit = jax.jit(lambda k: quantize_dit_params(
         dit_lib.init_dit_params(k, one)))
-    host_blocks = []
+
+    stacked = jax.eval_shape(
+        lambda k: quantize_dit_params(dit_lib.init_dit_params(k, dit_cfg)),
+        jax.random.PRNGKey(0))
+    blocks = jax.jit(lambda: jax.tree_util.tree_map(
+        lambda l: jnp.zeros(l.shape, l.dtype), stacked["blocks"]))()
+
+    @partial(jax.jit, donate_argnums=0)
+    def set_layer(st, b1, i):
+        return jax.tree_util.tree_map(
+            lambda s, b: jax.lax.dynamic_update_slice_in_dim(s, b, i, axis=0),
+            st, b1)
+
+    params = None
     for i in range(dit_cfg.num_layers):
         q1 = qinit(jax.random.PRNGKey(100 + i))
-        host_blocks.append(
-            jax.tree_util.tree_map(np.asarray, q1["blocks"]))
+        blocks = set_layer(blocks, q1["blocks"], jnp.int32(i))
+        if params is None:  # non-block leaves (embedders/head) from layer 0
+            params = {k: v for k, v in q1.items() if k != "blocks"}
         del q1
-    params = qinit(jax.random.PRNGKey(0))
-    params["blocks"] = jax.tree_util.tree_map(
-        lambda *xs: jnp.asarray(np.concatenate(xs, axis=0)), *host_blocks)
+    params["blocks"] = blocks
     return params
 
 
@@ -315,7 +329,20 @@ def bench_e2e_pipeline_s(layers: int = 8, quantize: bool = False) -> dict:
     run()
     measured = time.perf_counter() - t0
     del dit_params, vae_params, pipe
+    _release_device_memory()
     return {"layers": layers, "quantize": quantize, "measured_s": measured}
+
+
+def _release_device_memory() -> None:
+    """Actually free a finished stage's HBM: the pipeline's per-instance jit
+    cache closes over the pipeline itself (a reference cycle), so ``del``
+    alone leaves the full param tree alive until a collector pass; and jax's
+    global pjit caches pin compiled executables. Skipping this OOMed the VAE
+    stage after the 10.7 GB int8 e2e."""
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
 
 
 def bench_e2e_int8_deepest() -> dict | None:
@@ -329,20 +356,28 @@ def bench_e2e_int8_deepest() -> dict | None:
     deepest fitting depth and say so')."""
     # ~15.75 GB usable HBM minus VAE params, pipeline activations and
     # compile workspace at 720p (~2.5 GB measured headroom needed)
+    global _CACHE_DIRTY
     weight_budget = 13.2e9
+    hist = dict(_CACHE.get("int8_e2e_depth", {}))
+    infeasible = set(hist.get("infeasible", []))
     for layers in range(40, 7, -4):
-        if quantized_dit_bytes(layers) > weight_budget:
+        if quantized_dit_bytes(layers) > weight_budget or layers in infeasible:
             continue
         if _remaining() < 300:
             print(f"[bench] skipping int8 e2e at {layers} layers "
                   "(deadline)", file=sys.stderr)
             return None
         try:
-            return bench_e2e_pipeline_s(layers=layers, quantize=True)
+            res = bench_e2e_pipeline_s(layers=layers, quantize=True)
+            hist["feasible"] = layers
+            _CACHE["int8_e2e_depth"] = hist
+            _CACHE_DIRTY = True
+            return res
         except Exception as e:
             # the tunneled axon runtime surfaces compile-workspace OOMs as an
             # opaque compile-helper HTTP 500 rather than RESOURCE_EXHAUSTED —
-            # treat both as "too deep" and probe shallower
+            # treat both as "too deep" and probe shallower; remember the
+            # rejected depth so repeat runs skip the failing compile entirely
             oomish = ("RESOURCE_EXHAUSTED" in str(e)
                       or "remote_compile" in str(e))
             if not oomish:
@@ -351,6 +386,10 @@ def bench_e2e_int8_deepest() -> dict | None:
                 return None
             print(f"[bench] int8 e2e OOM-ish at {layers} layers "
                   f"({str(e)[:120]}); trying shallower", file=sys.stderr)
+            infeasible.add(layers)
+            hist["infeasible"] = sorted(infeasible)
+            _CACHE["int8_e2e_depth"] = hist
+            _CACHE_DIRTY = True
     return None
 
 
@@ -458,7 +497,8 @@ def _assemble(partial: dict) -> dict:
                        "elapsed_s": round(time.monotonic() - _T0, 1)},
         }
 
-    vae = partial.get("vae", {"encode_s": 0.35, "decode_s": 0.25})
+    # stages may record None on failure — fall back past both absent and None
+    vae = partial.get("vae") or {"encode_s": 0.35, "decode_s": 0.25}
     comm = partial.get("comm", {})
     feasibility = partial.get("feasibility", {})
     edit_mesh = partial.get("edit_mesh")
@@ -629,19 +669,36 @@ def main():
         for m in WALK_ORDER
     }
 
-    # ---- single-chip measurements (priority order; deadline-checked)
-    PARTIAL["dit1"] = bench_dit_block_ms(batch=1)
-    PARTIAL["dit1_q"] = bench_dit_block_ms(batch=1, quantize=True)
-    if _remaining() > 180:
-        PARTIAL["vae"] = bench_vae_s()
-    if _remaining() > 240:
-        PARTIAL["e2e"] = bench_e2e_pipeline_s()
-    if _remaining() > 300:
-        PARTIAL["dit2"] = bench_dit_block_ms(batch=2)
-    if _remaining() > 300:
-        PARTIAL["dit_r"] = bench_dit_block_ms(batch=2, frames=8, iters=2)
-    # the flagship measured number: full-depth int8 pipeline on one chip
-    PARTIAL["e2e_int8"] = bench_e2e_int8_deepest()
+    # ---- single-chip measurements (priority order; deadline-checked).
+    # Each stage is exception-proofed: a stage OOM/fault costs that field,
+    # never the JSON line. The flagship measured number — the
+    # deepest-fitting int8 pipeline on one chip — runs right after the cheap
+    # stages it pairs with, BEFORE the secondary estimates (a cold 20-layer
+    # compile is ~10 min; leaving it last is how it gets squeezed out of the
+    # budget).
+    def stage(name, fn, *a, min_remaining=0.0, **kw):
+        if _remaining() < min_remaining:
+            print(f"[bench] skipping {name} (deadline)", file=sys.stderr)
+            return None
+        try:
+            return fn(*a, **kw)
+        except Exception as e:  # noqa: BLE001 - the line must still print
+            print(f"[bench] stage {name} failed: {type(e).__name__}: "
+                  f"{str(e)[:300]}", file=sys.stderr)
+            _release_device_memory()
+            return None
+
+    PARTIAL["dit1"] = stage("dit1", bench_dit_block_ms, batch=1)
+    PARTIAL["dit1_q"] = stage("dit1_q", bench_dit_block_ms, batch=1,
+                              quantize=True)
+    _release_device_memory()
+    PARTIAL["vae"] = stage("vae", bench_vae_s)
+    PARTIAL["e2e_int8"] = stage("e2e_int8", bench_e2e_int8_deepest)
+    PARTIAL["e2e"] = stage("e2e", bench_e2e_pipeline_s, min_remaining=240)
+    PARTIAL["dit2"] = stage("dit2", bench_dit_block_ms, batch=2,
+                            min_remaining=300)
+    PARTIAL["dit_r"] = stage("dit_r", bench_dit_block_ms, batch=2, frames=8,
+                             iters=2, min_remaining=300)
 
     # ---- gather the walk within what's left of the budget
     walk_deadline = max(_remaining() - 30, 0)

@@ -221,3 +221,43 @@ def test_int8_skip_escape_hatch():
     q_all = _tiny_pipe_run(quantize=True)
     q_skip = _tiny_pipe_run(quantize=True, skip=(worst,))
     assert _psnr(q_skip, ref) >= _psnr(q_all, ref) - 0.5  # no regression
+
+
+def test_bench_layerwise_quantized_init_matches_direct():
+    """bench._init_quantized_dit builds the stacked int8 tree on device one
+    layer at a time (donated dynamic-update-slice writes) so the peak HBM
+    residency is int8-stack + one bf16 layer; it must produce the same tree
+    (structure, dtypes, values to fp rounding) as quantizing per-layer inits
+    directly."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import bench
+    from chronoedit_tpu.configs import chronoedit_tiny
+    from chronoedit_tpu.models import dit as dit_lib
+
+    cfg = chronoedit_tiny().dit
+    got = bench._init_quantized_dit(cfg)
+
+    one = dataclasses.replace(cfg, num_layers=1)
+    per_layer = [
+        jax.tree_util.tree_map(
+            np.asarray,
+            quantize_dit_params(dit_lib.init_dit_params(
+                jax.random.PRNGKey(100 + i), one))["blocks"])
+        for i in range(cfg.num_layers)
+    ]
+    ref_blocks = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs, axis=0), *per_layer)
+
+    flat_got, td_got = jax.tree_util.tree_flatten(got["blocks"])
+    flat_ref, td_ref = jax.tree_util.tree_flatten(ref_blocks)
+    assert str(td_got) == str(td_ref)
+    for a, b in zip(flat_got, flat_ref):
+        assert a.shape == b.shape and a.dtype == b.dtype
+        if a.dtype == jnp.int8:
+            np.testing.assert_array_equal(np.asarray(a), b)
+        else:  # fp leaves: jit fusion rounding only
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=1e-5, atol=1e-9)

@@ -527,6 +527,7 @@ def _assemble(partial: dict) -> dict:
     dit1_q = partial.get("dit1_q")
     dit2 = partial.get("dit2")
     dit_r = partial.get("dit_r")
+    dit_r_q = partial.get("dit_r_q")
     e2e = partial.get("e2e")
     e2e_int8 = partial.get("e2e_int8")
 
@@ -538,6 +539,11 @@ def _assemble(partial: dict) -> dict:
     throughput_b2 = (None if total_b2 is None
                      else 2.0 / (total_b2 + vae_8chip))
     total_reason50 = estimate(dit_r, 50, comm_reason)
+    # int8 reasoning reuses the bf16-measured reasoning collectives: the
+    # collectives carry activations, not weights, and the edit-mode
+    # measurement proved the quantized program's bytes are byte-identical
+    # (collective_bytes_edit_fwd_int8 == bf16 on every mesh walked)
+    total_reason50_int8 = estimate(dit_r_q, 50, comm_reason)
 
     e2e_40_1chip = None
     if e2e is not None:
@@ -565,9 +571,12 @@ def _assemble(partial: dict) -> dict:
         "est_sec_per_edit_int8_serving": r(total_int8, 3),
         "dit_block_s_1chip_b2_cfg": r(dit2 and dit2["per_block_s"], 5),
         "dit_block_s_1chip_b2_reasoning28k": r(dit_r and dit_r["per_block_s"], 5),
+        "dit_block_s_1chip_b2_reasoning28k_int8": r(
+            dit_r_q and dit_r_q["per_block_s"], 5),
         "est_sec_per_edit_50step_cfg": r(total_cfg50, 3),
         "est_edits_per_s_batch2_distilled": r(throughput_b2, 3),
         "est_sec_per_edit_50step_reasoning": r(total_reason50, 3),
+        "est_sec_per_edit_50step_reasoning_int8": r(total_reason50_int8, 3),
         "e2e_measured_s_1chip_8layer_bf16": r(e2e and e2e["measured_s"], 3),
         "e2e_est_s_1chip_40layer_bf16_extrapolated": r(e2e_40_1chip, 3),
         # round-3: MEASURED, not extrapolated (VERDICT #2) — full 8-step
@@ -599,7 +608,9 @@ def _assemble(partial: dict) -> dict:
             "factors (8-wide; mild upper bound for smaller groups); "
             "hlo_backend tpu-aot = exact v5e SPMD program (fused norms now "
             "shard_mapped in, so no norm correction term); int8 collectives "
-            "measured from the quantized program"),
+            "measured from the quantized program (reasoning int8 reuses the "
+            "bf16-measured reasoning bytes — the quantized edit fwd proved "
+            "collective bytes are weight-independent)"),
     }
     if partial.get("walk_timed_out"):
         detail["walk_timed_out"] = True
@@ -699,6 +710,9 @@ def main():
                             min_remaining=300)
     PARTIAL["dit_r"] = stage("dit_r", bench_dit_block_ms, batch=2, frames=8,
                              iters=2, min_remaining=300)
+    PARTIAL["dit_r_q"] = stage("dit_r_q", bench_dit_block_ms, batch=2,
+                               frames=8, iters=2, quantize=True,
+                               min_remaining=300)
 
     # ---- gather the walk within what's left of the budget
     walk_deadline = max(_remaining() - 30, 0)

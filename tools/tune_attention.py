@@ -31,18 +31,18 @@ def readback_overhead():
     return (time.perf_counter() - t0) / 10
 
 
-def main():
+def sweep(B, S, H=40, D=128, iters=5):
+    """Sweep (block_q, block_kv) at a (batch, seq) self-attention shape.
+    S=7200 is the 720p edit sequence (resident-KV path); S=28800 the
+    29-frame reasoning sequence (streamed-KV path)."""
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
-    B, S, H, D = 2, 7200, 40, 128
     q = jax.random.normal(ks[0], (B, S, H, D), jnp.bfloat16)
     k = jax.random.normal(ks[1], (B, S, H, D), jnp.bfloat16)
     v = jax.random.normal(ks[2], (B, S, H, D), jnp.bfloat16)
-    k2 = jax.random.normal(ks[1], (B, 769, H, D), jnp.bfloat16)
-    v2 = jax.random.normal(ks[2], (B, 769, H, D), jnp.bfloat16)
     scale = D ** -0.5
     flops = 4 * B * H * S * S * D
     rb = readback_overhead()
-    print(f"readback overhead: {rb * 1e3:.1f} ms")
+    print(f"== B={B} S={S} (readback {rb * 1e3:.1f} ms)")
 
     ref = None
     for bq in (256, 512, 1024, 2048):
@@ -55,9 +55,9 @@ def main():
                 if ref is None:
                     ref = s0
                 t0 = time.perf_counter()
-                for _ in range(5):
+                for _ in range(iters):
                     float(f(q, k, v))
-                dt = (time.perf_counter() - t0) / 5 - rb
+                dt = (time.perf_counter() - t0) / iters - rb
                 ok = abs(s0 - ref) < abs(ref) * 1e-3 + 1.0
                 print(f"bq={bq:5d} bkv={bkv:5d}: {dt * 1e3:7.2f} ms "
                       f"({flops / dt / 1e12:6.1f} TFLOP/s) sum_ok={ok}",
@@ -67,6 +67,8 @@ def main():
                       f"{str(e)[:100]}", flush=True)
 
     # cross-attention shape
+    k2 = jax.random.normal(ks[1], (B, 769, H, D), jnp.bfloat16)
+    v2 = jax.random.normal(ks[2], (B, 769, H, D), jnp.bfloat16)
     f = jax.jit(lambda q, k, v: jnp.sum(
         flash_attention(q, k, v, scale=scale).astype(jnp.float32)))
     float(f(q, k2, v2))
@@ -75,6 +77,19 @@ def main():
         float(f(q, k2, v2))
     print(f"cross 769kv: {((time.perf_counter() - t0) / 5 - rb) * 1e3:.2f} ms",
           flush=True)
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--shapes", default="edit",
+                   choices=["edit", "reasoning", "both"])
+    a = p.parse_args()
+    if a.shapes in ("edit", "both"):
+        sweep(2, 7200)
+    if a.shapes in ("reasoning", "both"):
+        sweep(2, 28800, iters=2)
 
 
 if __name__ == "__main__":

@@ -288,14 +288,17 @@ def quantized_dit_bytes(layers: int) -> int:
                for l in jax.tree_util.tree_leaves(shapes))
 
 
-def bench_e2e_pipeline_s(layers: int = 8, quantize: bool = False) -> dict:
+def bench_e2e_pipeline_s(layers: int = 8, quantize: bool = False,
+                         cache: tuple | None = None) -> dict:
     """Measured end-to-end 8-step distilled edit at 720p on ONE chip.
 
     bf16 at 40 layers does not fit one chip (28 GB weights), so the bf16
     run uses a reduced depth and the 40-layer figure scales the block-loop
     portion only. ``quantize=True`` builds int8 params layer-by-layer (see
     :func:`_init_quantized_dit`) so the deepest HBM-feasible depth is set by
-    the *quantized* footprint, not a transient bf16 copy."""
+    the *quantized* footprint, not a transient bf16 copy.
+    ``cache=((a, b), k)`` engages the Δ-DiT block cache — blocks [a, b)
+    reuse their cached token delta except every k-th solver step."""
     import dataclasses as dc
 
     from chronoedit_tpu.configs import chronoedit_14b_distilled
@@ -306,6 +309,9 @@ def bench_e2e_pipeline_s(layers: int = 8, quantize: bool = False) -> dict:
     cfg = chronoedit_14b_distilled()
     cfg = dc.replace(cfg, dit=dc.replace(cfg.dit, num_layers=layers,
                                          param_dtype=jnp.bfloat16))
+    if cache is not None:
+        cfg = dc.replace(cfg, cache_blocks=tuple(cache[0]),
+                         cache_period=cache[1])
     if quantize:
         dit_params = _init_quantized_dit(cfg.dit)
     else:
@@ -330,7 +336,11 @@ def bench_e2e_pipeline_s(layers: int = 8, quantize: bool = False) -> dict:
     measured = time.perf_counter() - t0
     del dit_params, vae_params, pipe
     _release_device_memory()
-    return {"layers": layers, "quantize": quantize, "measured_s": measured}
+    out = {"layers": layers, "quantize": quantize, "measured_s": measured}
+    if cache is not None:
+        out["cache_blocks"] = list(cache[0])
+        out["cache_period"] = cache[1]
+    return out
 
 
 def _release_device_memory() -> None:
@@ -530,6 +540,7 @@ def _assemble(partial: dict) -> dict:
     dit_r_q = partial.get("dit_r_q")
     e2e = partial.get("e2e")
     e2e_int8 = partial.get("e2e_int8")
+    e2e_int8_c = partial.get("e2e_int8_cached")
 
     total = estimate(dit1, DENOISE_STEPS, comm_edit)
     total_int8 = estimate(dit1_q, DENOISE_STEPS, comm_int8)
@@ -583,6 +594,13 @@ def _assemble(partial: dict) -> dict:
         # 720p pipeline at the stated depth with int8 projections, one chip
         "e2e_measured_s_1chip_int8": r(e2e_int8 and e2e_int8["measured_s"], 3),
         "e2e_measured_int8_layers": e2e_int8 and e2e_int8["layers"],
+        # Δ-DiT block cache engaged (middle 60% of blocks, period 2) at the
+        # same depth — measured speedup for SERVING.md lever #4
+        "e2e_measured_s_1chip_int8_blockcache": r(
+            e2e_int8_c and e2e_int8_c["measured_s"], 3),
+        "blockcache": e2e_int8_c and {
+            "blocks": e2e_int8_c["cache_blocks"],
+            "period": e2e_int8_c["cache_period"]},
         "vae_encode_s": r(vae["encode_s"]),
         "vae_decode_s": r(vae["decode_s"]),
         "edit_mesh": edit_mesh,
@@ -713,6 +731,14 @@ def main():
     PARTIAL["dit_r_q"] = stage("dit_r_q", bench_dit_block_ms, batch=2,
                                frames=8, iters=2, quantize=True,
                                min_remaining=300)
+    # bonus serving lever: Δ-DiT block cache at the measured int8 depth —
+    # middle 60% of blocks reuse their cached token delta on odd steps
+    e2e_int8 = PARTIAL.get("e2e_int8")
+    if e2e_int8:
+        L = e2e_int8["layers"]
+        PARTIAL["e2e_int8_cached"] = stage(
+            "e2e_int8_cached", bench_e2e_pipeline_s, layers=L, quantize=True,
+            cache=((L // 5, L - L // 5), 2), min_remaining=420)
 
     # ---- gather the walk within what's left of the budget
     walk_deadline = max(_remaining() - 30, 0)

@@ -499,31 +499,39 @@ def _dit_forward_impl(
         a, bb = cache_blocks
         if not (0 <= a <= bb <= cfg.num_layers):
             raise ValueError(f"cache_blocks {cache_blocks} out of range")
-
-        def seg(lo, hi):
-            return jax.tree_util.tree_map(lambda p: p[lo:hi], params["blocks"])
-
-        def run_seg(tok, stacked):
-            def body(carry, bp):
-                return block_fn(bp, carry, text_ctx, img_ctx, t_proj, cos,
-                                sin, hw, cfg, mesh), None
-
-            return jax.lax.scan(body, tok, stacked)[0]
-
-        tokens = run_seg(tokens, seg(0, a))
         if cache is None:
             cache = jnp.zeros_like(tokens)
+        refresh = jnp.asarray(cache_refresh, bool)
 
-        def full(tok):
-            out = run_seg(tok, seg(a, bb))
-            return out, (out - tok).astype(tok.dtype)
+        # ONE homogeneous scan over the full stack — identical memory
+        # profile to the uncached path. (Slicing the stacked params into
+        # [0,a)/[a,bb)/[bb,L) segments makes XLA materialize layout-
+        # converted full-weight copies as while-loop temps inside the
+        # solver scan: ~150 MB per projection per segment, which blows
+        # HBM at serving depths.) Cached blocks are skipped under a
+        # lax.cond; their summed delta accumulates in the carry on
+        # refresh steps, and the saved delta is added once at block
+        # ``a`` on reuse steps (the skipped blocks are identity, so the
+        # insertion point within [a, bb) is immaterial).
+        zero = jnp.zeros([], tokens.dtype)
 
-        def reuse(tok):
-            return tok + cache, cache
+        def body(carry, inp):
+            tok, acc = carry
+            bp, lyr = inp
+            tok = tok + jnp.where((lyr == a) & ~refresh, cache, zero)
+            out = jax.lax.cond(
+                refresh | (lyr < a) | (lyr >= bb),
+                lambda t: block_fn(bp, t, text_ctx, img_ctx, t_proj, cos,
+                                   sin, hw, cfg, mesh),
+                lambda t: t,
+                tok)
+            acc = acc + jnp.where((lyr >= a) & (lyr < bb), out - tok, zero)
+            return (out, acc), None
 
-        tokens, new_cache = jax.lax.cond(
-            jnp.asarray(cache_refresh, bool), full, reuse, tokens)
-        tokens = run_seg(tokens, seg(bb, cfg.num_layers))
+        (tokens, delta), _ = jax.lax.scan(
+            body, (tokens, jnp.zeros_like(tokens)),
+            (params["blocks"], jnp.arange(cfg.num_layers)))
+        new_cache = jnp.where(refresh, delta, cache)
     elif mesh is not None and mesh.shape.get("pipe", 1) > 1:
         # GPipe over the pipe axis: stacked blocks stage-sharded, batch
         # microbatched, ppermute handoffs (parallel/pipeline_parallel.py).

@@ -185,7 +185,8 @@ class ChronoEditPipeline:
         return x
 
     def _model_fn(self, dit_params, condition, text_emb, neg_text_emb,
-                  image_emb, guidance, slg_layers=(), stateful=False):
+                  image_emb, guidance, slg_layers=(), stateful=False,
+                  step0=0):
         """Velocity prediction closure for the solver, including CFG and
         optional SLG (skip-layer guidance: listed blocks are skipped in the
         *unconditional* forward, wan2pt1.py:842-843).
@@ -193,8 +194,9 @@ class ChronoEditPipeline:
         With ``stateful`` (the Δ-DiT block cache, ``PipelineConfig.
         cache_blocks/cache_period``), the closure has signature
         ``fn(x, t, step_idx, cache) -> (v, cache)`` — blocks [a, b) only run
-        on every ``cache_period``-th step, otherwise their cached token
-        delta is reused."""
+        on every ``cache_period``-th step (counted from ``step0``, so a
+        solver phase starting mid-trajectory refreshes on its first step),
+        otherwise their cached token delta is reused."""
         cfg = self.config
         do_cfg = guidance > 1.0 and neg_text_emb is not None
         slg_mask = None
@@ -213,7 +215,8 @@ class ChronoEditPipeline:
                     layer_mask=mask, mesh=self.mesh)
             return dit_lib.dit_forward(
                 dit_params, cfg.dit, xin, ts, text, img, mesh=self.mesh,
-                cache=cache, cache_refresh=idx % cfg.cache_period == 0,
+                cache=cache,
+                cache_refresh=(idx - step0) % cfg.cache_period == 0,
                 **cache_kw)
 
         if not do_cfg:
@@ -274,41 +277,46 @@ class ChronoEditPipeline:
                                       neg_prompt_emb, image_emb, guidance,
                                       slg_layers)
 
-            use_cache = (cfg.cache_blocks is not None and cfg.cache_period > 1
-                         and not reasoning)
-            if use_cache:
-                model_fn = self._model_fn(dit_params, condition, prompt_emb,
-                                          neg_prompt_emb, image_emb, guidance,
-                                          slg_layers, stateful=True)
+            use_cache = cfg.cache_blocks is not None and cfg.cache_period > 1
+
+            def stateful_fn(cond, step0):
+                return self._model_fn(dit_params, cond, prompt_emb,
+                                      neg_prompt_emb, image_emb, guidance,
+                                      slg_layers, stateful=True, step0=step0)
+
+            def cache0(lat):
                 do_cfg = guidance > 1.0 and neg_prompt_emb is not None
-                b_eff = latents.shape[0] * (2 if do_cfg else 1)
-                s_tok = tl * (latents.shape[3] // 2) * (latents.shape[4] // 2)
-                cache0 = jnp.zeros((b_eff, s_tok, cfg.dit.dim), cfg.dit.dtype)
-                state, _ = run_unipc(model_fn, coeffs,
-                                     UniPCState.init(latents), 0, num_steps,
-                                     aux=cache0)
-                final = state.x
-                if output_type == "latent":
-                    return final
-                return vae_lib.vae_decode(vae_params, cfg.vae, final,
-                                          mesh=self.mesh)
+                b_eff = lat.shape[0] * (2 if do_cfg else 1)
+                s_tok = lat.shape[2] * (lat.shape[3] // 2) * (lat.shape[4] // 2)
+                return jnp.zeros((b_eff, s_tok, cfg.dit.dim), cfg.dit.dtype)
+
+            def phase(st, cond, start, end):
+                """Solver steps [start, end); each phase carries its own
+                block-delta cache (refreshed on its first step) since the
+                token count changes at the reasoning drop."""
+                if use_cache:
+                    st, _ = run_unipc(stateful_fn(cond, start), coeffs, st,
+                                      start, end, aux=cache0(st.x))
+                    return st
+                fn = model_fn if start == 0 else self._model_fn(
+                    dit_params, cond, prompt_emb, neg_prompt_emb, image_emb,
+                    guidance, slg_layers)
+                return run_unipc(fn, coeffs, st, start, end)
 
             state = UniPCState.init(latents)
             if reasoning and 0 < k_reason < num_steps:
                 # mid-loop drop: keep [first, last] after k steps
                 # (pipeline_chronoedit.py:700-709 truncates latents,
                 # condition, solver history and last_sample alike)
-                state = run_unipc(model_fn, coeffs, state, 0, k_reason)
+                state = phase(state, condition, 0, k_reason)
                 keep = jnp.array([0, tl - 1])
                 state = state.truncate(lambda t: t[:, :, keep])
-                model_fn2 = self._model_fn(
-                    dit_params, condition[:, :, keep], prompt_emb,
-                    neg_prompt_emb, image_emb, guidance, slg_layers)
-                state = run_unipc(model_fn2, coeffs, state, k_reason, num_steps)
+                state = phase(state, condition[:, :, keep], k_reason,
+                              num_steps)
             else:
                 # full run; in reasoning mode (k >= num_steps, the reference
                 # CLI default of 50/50) the trajectory survives to decoding
-                state = run_unipc(model_fn, coeffs, state, 0, num_steps)
+                state = phase(state, condition, 0, num_steps)
 
             final = state.x
             if output_type == "latent":

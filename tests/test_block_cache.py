@@ -92,3 +92,34 @@ def test_pipeline_with_cache_runs_and_degrades_gracefully():
     # cached output stays close to the exact one on this smooth tiny model
     err = float(jnp.abs(out - ref).max())
     assert err < 0.5, err
+
+
+def test_reasoning_with_cache_runs_and_period1_exact():
+    """Temporal-reasoning mode composes with the block cache: each solver
+    phase (pre/post the mid-loop frame drop) carries its own delta cache,
+    refreshed on the phase's first step regardless of its start index."""
+    pcfg = chronoedit_tiny()
+    pcfg = dataclasses.replace(
+        pcfg, num_steps=6, cache_blocks=(1, 2), cache_period=2)
+    dit_params = dit_lib.init_dit_params(jax.random.PRNGKey(0), pcfg.dit)
+    vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), pcfg.vae)
+    pipe = ChronoEditPipeline(pcfg, dit_params, vae_params)
+
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    image = jax.random.uniform(ks[0], (1, 3, 16, 16), jnp.float32, -1, 1)
+    prompt = jax.random.normal(ks[1], (1, 8, pcfg.dit.text_dim), jnp.float32)
+    kw = dict(enable_temporal_reasoning=True, num_temporal_reasoning_steps=3,
+              num_frames=9, key=jax.random.PRNGKey(3))
+    out = pipe(image, prompt, **kw)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # period=1 disables the stateful path == the cache-free reasoning path
+    pipe1 = ChronoEditPipeline(
+        dataclasses.replace(pcfg, cache_period=1), dit_params, vae_params)
+    base = pipe1(image, prompt, **kw)
+    pipe_off = ChronoEditPipeline(
+        dataclasses.replace(pcfg, cache_blocks=None, cache_period=1),
+        dit_params, vae_params)
+    ref = pipe_off(image, prompt, **kw)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(ref), atol=1e-6)
+    assert float(jnp.abs(out - ref).max()) < 0.5

@@ -94,6 +94,66 @@ def test_pipeline_with_cache_runs_and_degrades_gracefully():
     assert err < 0.5, err
 
 
+@pytest.mark.parametrize("mesh_kw,cp_mode", [
+    (dict(data=4, tensor=2), None),
+    (dict(data=4, context=2), "ulysses"),
+])
+def test_cache_under_mesh_matches_unsharded(mesh_kw, cp_mode):
+    """The cached forward (per-layer lax.cond around shard_mapped blocks)
+    must survive GSPMD: serving combines the deployment mesh (SERVING.md
+    lever 3) with the block cache (lever 4)."""
+    from chronoedit_tpu.parallel import MeshConfig, make_mesh, shard_params
+    from chronoedit_tpu.parallel.sharding import dit_param_sharding
+
+    cfg = dataclasses.replace(TINY, num_layers=4)
+    if cp_mode:
+        cfg = dataclasses.replace(cfg, context_parallel=cp_mode)
+    params = _randomize(dit_lib.init_dit_params(jax.random.PRNGKey(0), cfg),
+                        jax.random.PRNGKey(1))
+    x, ts, text, img = _inputs(cfg, b=2, t=2, h=4, w=4)
+    args = (jnp.asarray(x), jnp.asarray(ts), jnp.asarray(text), jnp.asarray(img))
+    _, cache = dit_lib.dit_forward(params, cfg, *args,
+                                   cache_blocks=(1, 3), cache_refresh=True)
+    ref_reuse, _ = dit_lib.dit_forward(params, cfg, *args, cache_blocks=(1, 3),
+                                       cache=cache, cache_refresh=False)
+
+    mesh = make_mesh(MeshConfig(**mesh_kw))
+    sharded = shard_params(params, mesh, dit_param_sharding(mesh))
+    with mesh:
+        fwd = jax.jit(lambda p, *a, **kw: dit_lib.dit_forward(
+            p, cfg, *a, mesh=mesh, **kw), static_argnames=("cache_blocks",))
+        out_s, cache_s = fwd(sharded, *args, cache_blocks=(1, 3),
+                             cache_refresh=True)
+        reuse_s, _ = fwd(sharded, *args, cache_blocks=(1, 3), cache=cache_s,
+                         cache_refresh=False)
+    np.testing.assert_allclose(np.asarray(cache_s), np.asarray(cache),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(reuse_s), np.asarray(ref_reuse),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_cache_pipeline_psnr_gate():
+    """Quality gate for the block-cache serving lever (SERVING.md lever 4),
+    mirroring the int8 gate in test_quant.py: the FULL pipeline with the
+    Δ-DiT cache engaged (middle blocks, period 2) must stay within a PSNR
+    bound of the cache-free pipeline at tiny geometry.  docs/SERVING.md
+    quotes this bound next to the --cache-blocks recommendation; real
+    checkpoints re-run the gate via tools/parity_harness.py."""
+    from tests.test_quant import _psnr, _tiny_pipe_run
+
+    ref = _tiny_pipe_run(quantize=False)
+    cached = _tiny_pipe_run(quantize=False, cache=True)
+    db = _psnr(cached, ref)
+    print(f"cached-vs-exact pipeline PSNR: {db:.1f} dB")
+    assert db >= 30.0, f"cache pipeline PSNR {db:.1f} dB below the 30 dB gate"
+
+    # the two levers compose for serving: int8 + cache vs bf16 exact
+    both = _tiny_pipe_run(quantize=True, cache=True)
+    db2 = _psnr(both, ref)
+    print(f"int8+cached-vs-bf16 pipeline PSNR: {db2:.1f} dB")
+    assert db2 >= 28.0, db2
+
+
 def test_reasoning_with_cache_runs_and_period1_exact():
     """Temporal-reasoning mode composes with the block cache: each solver
     phase (pre/post the mid-loop frame drop) carries its own delta cache,

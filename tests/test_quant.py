@@ -157,7 +157,9 @@ def _psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10 * np.log10(peak * peak / mse)
 
 
-def _tiny_pipe_run(quantize: bool, skip: tuple = ()):
+def _tiny_pipe_run(quantize: bool, skip: tuple = (), cache: bool = False):
+    import dataclasses
+
     from chronoedit_tpu.configs import chronoedit_tiny
     from chronoedit_tpu.models import dit as dit_lib
     from chronoedit_tpu.models import vae as vae_lib
@@ -165,6 +167,12 @@ def _tiny_pipe_run(quantize: bool, skip: tuple = ()):
     from tests.test_dit import _randomize
 
     cfg = chronoedit_tiny()
+    if cache:  # Δ-DiT block cache, middle blocks at period 2 (SERVING.md);
+        # the range must be non-empty even at the tiny 2-layer depth
+        L = cfg.dit.num_layers
+        a = max(1, L // 5)
+        cfg = dataclasses.replace(cfg, cache_blocks=(a, max(a + 1, L - a)),
+                                  cache_period=2)
     # _randomize: init_dit_params zero-inits the output head, which would
     # make the velocity (and hence the gate) identically zero in both
     # precisions — a vacuous inf-dB comparison

@@ -163,6 +163,10 @@ def _pipeline_report(args, mesh, dit_cfg):
 
     cfg = chronoedit_14b_distilled()
     cfg = dataclasses.replace(cfg, dit=dit_cfg)
+    if args.cache:
+        L = dit_cfg.num_layers
+        cfg = dataclasses.replace(cfg, cache_blocks=(L // 5, L - L // 5),
+                                  cache_period=2)
 
     spec_fn = dit_param_sharding(mesh)
     dit_shapes = jax.eval_shape(lambda k: dit_lib.init_dit_params(k, cfg.dit),
@@ -296,6 +300,9 @@ def main():
     ap.add_argument("--layers", type=int, default=40)
     ap.add_argument("--model", default="dit",
                     choices=("dit", "vae", "train", "pipeline"))
+    ap.add_argument("--cache", action="store_true",
+                    help="engage the Δ-DiT block cache (middle 60% of "
+                         "blocks, period 2) in the --model pipeline program")
     ap.add_argument("--quantize", action="store_true",
                     help="pipeline model: int8 w8a8 DiT projections")
     ap.add_argument("--preset", default="14b", choices=("14b", "small"),

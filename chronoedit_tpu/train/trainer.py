@@ -38,6 +38,11 @@ class TrainerConfig:
     # (wandb_log.py:59-120) with checkpoint resume; round-1 only counted.
     # 0 disables the check.
     nan_abort_after: int = 10
+    # sanitizer (utils/sanitize.py): error on any device->host readback
+    # inside the micro-batch step calls — catches a stray float()/.item()
+    # in a callback or loss hook that would serialize the device pipeline.
+    # The trainer's own deferred loss flush/validation stay outside.
+    guard_host_sync: bool = False
 
 
 class Trainer:
@@ -155,7 +160,13 @@ class Trainer:
                 t0 = _time.perf_counter()
                 batch = next(data)
                 data_s += _time.perf_counter() - t0
-                state, metrics = self._step_fn(state, batch, sub)
+                if self.cfg.guard_host_sync:
+                    from chronoedit_tpu.utils.sanitize import no_host_sync
+
+                    with no_host_sync():
+                        state, metrics = self._step_fn(state, batch, sub)
+                else:
+                    state, metrics = self._step_fn(state, batch, sub)
                 accum_metrics.append(metrics)
             if grad_accum > 1:
                 metrics = jax.tree_util.tree_map(

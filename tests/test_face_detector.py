@@ -159,6 +159,7 @@ def oracle():
     return net
 
 
+@pytest.mark.slow  # torch-oracle crosscheck, full tier
 def test_forward_matches_torch_oracle(oracle):
     params = convert_retinaface(oracle.state_dict(), TINY)
     rng = np.random.default_rng(1)
@@ -174,6 +175,7 @@ def test_forward_matches_torch_oracle(oracle):
                                rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow  # torch-oracle crosscheck, full tier
 def test_forward_matches_with_module_prefix(oracle):
     sd = {f"module.{k}": v for k, v in oracle.state_dict().items()}
     params = convert_retinaface(sd, TINY)

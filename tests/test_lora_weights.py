@@ -121,6 +121,7 @@ def test_musubi_lora_dialect():
     assert np.all(lora["blocks"]["ffn"]["fc1"]["a"][1] == 0)
 
 
+@pytest.mark.slow  # full synthetic VAE convert: ~40 s, full tier
 def test_vae_weights_roundtrip_structure():
     """Build a reference-named VAE state dict synthetically, convert, and
     verify the tree matches init_vae_params structurally."""

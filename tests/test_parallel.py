@@ -65,7 +65,9 @@ def test_split_gather_sequence_roundtrip():
 @pytest.mark.parametrize("cfgname,meshcfg", [
     ("tp8", MeshConfig(data=1, tensor=8)),
     ("fsdp8", MeshConfig(data=1, fsdp=8)),
-    ("tp2fsdp2", MeshConfig(data=2, fsdp=2, tensor=2)),
+    # hybrid covered by the driver dryrun + full tier (11 s)
+    pytest.param("tp2fsdp2", MeshConfig(data=2, fsdp=2, tensor=2),
+                 marks=pytest.mark.slow),
 ])
 def test_sharded_dit_matches_single_device(cfgname, meshcfg):
     """GSPMD-sharded DiT forward must be numerically identical to the

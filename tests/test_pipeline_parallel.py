@@ -51,7 +51,10 @@ def test_gpipe_scan_matches_plain_scan():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
-@pytest.mark.parametrize("cp_mode", ["ulysses", "ring"])
+@pytest.mark.parametrize("cp_mode", [
+    pytest.param("ulysses", marks=pytest.mark.slow),  # 14 s: full tier
+    "ring",
+])
 def test_dit_pipe_context_composed(cp_mode):
     """PP x CP (round-3, VERDICT #5): tokens context-sharded INSIDE pipeline
     stages, ring/Ulysses attention over the context axis name, per-frame

@@ -59,6 +59,7 @@ def test_linear_dispatches_on_quantized_params():
     assert err < 0.05, err
 
 
+@pytest.mark.slow  # ~25 s; the PSNR gate below is the quality bar
 def test_dit_forward_quantized_close_to_fp():
     from chronoedit_tpu.configs import chronoedit_tiny
     from chronoedit_tpu.models import dit as dit_lib
@@ -231,6 +232,7 @@ def test_int8_skip_escape_hatch():
     assert _psnr(q_skip, ref) >= _psnr(q_all, ref) - 0.5  # no regression
 
 
+@pytest.mark.slow  # ~16 s; exercises bench.py's layer-wise init path
 def test_bench_layerwise_quantized_init_matches_direct():
     """bench._init_quantized_dit builds the stacked int8 tree on device one
     layer at a time (donated dynamic-update-slice writes) so the peak HBM

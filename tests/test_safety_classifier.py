@@ -81,6 +81,7 @@ def _biased_classifier(winner: int, dim: int):
     return {"layers": layers}
 
 
+@pytest.mark.slow  # tiny-HF-LLM e2e: ~70 s, full tier
 def test_guardrail_slot_block_and_pass():
     from chronoedit_tpu.aux.guardrails import GuardrailBlocked, video_guardrail
 

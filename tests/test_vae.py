@@ -44,6 +44,7 @@ def test_encode_decode_shapes(tiny_vae):
     assert bool(jnp.isfinite(y).all())
 
 
+@pytest.mark.slow  # ~20 s compile; shape logic also covered below
 def test_single_frame_roundtrip_shapes(tiny_vae):
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 1, 16, 16))
     z = vae_lib.vae_encode(tiny_vae, TINY, x, normalize=False)
@@ -80,6 +81,7 @@ def test_decoder_causality(tiny_vae):
     assert float(jnp.abs(y1[:, :, 3:] - y2[:, :, 3:]).max()) > 1e-4
 
 
+@pytest.mark.slow  # ~17 s compile; normalization math is pure jnp
 def test_latent_normalization_roundtrip(tiny_vae):
     cfg = dataclasses.replace(TINY, z_dim=16)
     params = vae_lib.init_vae_params(jax.random.PRNGKey(5), cfg)

@@ -11,6 +11,7 @@ from chronoedit_tpu.parallel import MeshConfig, make_mesh
 from tests.test_vae import TINY
 
 
+@pytest.mark.slow  # ~30 s; the driver dryrun covers sharded VAE too
 def test_sharded_vae_encode_decode_match():
     params = vae_lib.init_vae_params(jax.random.PRNGKey(0), TINY)
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 5, 32, 32))

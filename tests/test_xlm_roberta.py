@@ -4,6 +4,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # reference torch crosschecks, full tier
+
 from tests.test_reference_crosscheck import REFERENCE
 
 

@@ -723,6 +723,16 @@ def main():
     _release_device_memory()
     PARTIAL["vae"] = stage("vae", bench_vae_s)
     PARTIAL["e2e_int8"] = stage("e2e_int8", bench_e2e_int8_deepest)
+    # serving lever: Δ-DiT block cache at the measured int8 depth — middle
+    # 60% of blocks reuse their cached token delta on odd steps. Runs
+    # IMMEDIATELY after the int8 e2e it extends (same depth, warm VAE/embed
+    # programs): r3 rehearsal showed leaving it last gets it deadline-cut.
+    e2e_int8 = PARTIAL.get("e2e_int8")
+    if e2e_int8:
+        L = e2e_int8["layers"]
+        PARTIAL["e2e_int8_cached"] = stage(
+            "e2e_int8_cached", bench_e2e_pipeline_s, layers=L, quantize=True,
+            cache=((L // 5, L - L // 5), 2), min_remaining=300)
     PARTIAL["e2e"] = stage("e2e", bench_e2e_pipeline_s, min_remaining=240)
     PARTIAL["dit2"] = stage("dit2", bench_dit_block_ms, batch=2,
                             min_remaining=300)
@@ -731,14 +741,6 @@ def main():
     PARTIAL["dit_r_q"] = stage("dit_r_q", bench_dit_block_ms, batch=2,
                                frames=8, iters=2, quantize=True,
                                min_remaining=300)
-    # bonus serving lever: Δ-DiT block cache at the measured int8 depth —
-    # middle 60% of blocks reuse their cached token delta on odd steps
-    e2e_int8 = PARTIAL.get("e2e_int8")
-    if e2e_int8:
-        L = e2e_int8["layers"]
-        PARTIAL["e2e_int8_cached"] = stage(
-            "e2e_int8_cached", bench_e2e_pipeline_s, layers=L, quantize=True,
-            cache=((L // 5, L - L // 5), 2), min_remaining=420)
 
     # ---- gather the walk within what's left of the budget
     walk_deadline = max(_remaining() - 30, 0)

@@ -562,6 +562,18 @@ def _assemble(partial: dict) -> dict:
         e2e_40_1chip = (e2e["measured_s"] - block_part
                         + DENOISE_STEPS * 40 * dit1["per_block_s"])
 
+    # serving estimate with the Δ-DiT block cache engaged: the measured
+    # 1-chip cached-vs-uncached delta at depth L covers the middle-60%
+    # recipe, which is depth-proportional — scale to 40 layers and spread
+    # the (compute-only) saving over the chips; wire time is left unchanged
+    # (conservative: reuse steps actually move fewer bytes too)
+    total_int8_cached = None
+    if (total_int8 is not None and e2e_int8 is not None
+            and e2e_int8_c is not None):
+        saving_40 = ((e2e_int8["measured_s"] - e2e_int8_c["measured_s"])
+                     * 40 / e2e_int8["layers"])
+        total_int8_cached = total_int8 - saving_40 / N_CHIPS_TARGET
+
     def penalty(dit, comm_s):
         if dit is None or comm_s is None:
             return None
@@ -601,6 +613,9 @@ def _assemble(partial: dict) -> dict:
         "blockcache": e2e_int8_c and {
             "blocks": e2e_int8_c["cache_blocks"],
             "period": e2e_int8_c["cache_period"]},
+        # derived: int8 serving with the cache's measured compute saving
+        # scaled to 40 layers and divided across chips (wire unchanged)
+        "est_sec_per_edit_int8_blockcache_serving": r(total_int8_cached, 3),
         "vae_encode_s": r(vae["encode_s"]),
         "vae_decode_s": r(vae["decode_s"]),
         "edit_mesh": edit_mesh,

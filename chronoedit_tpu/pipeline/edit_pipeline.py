@@ -61,6 +61,20 @@ class PipelineConfig:
     def latent_channels(self) -> int:
         return self.vae.z_dim
 
+    def resolve_num_frames(self, num_frames: int | None = None,
+                           enable_temporal_reasoning: bool = False) -> int:
+        """The pixel frame count a run will actually use: the 29-frame
+        reasoning default or the edit default, rounded down to a
+        VAE-compatible ``temporal_factor*k + 1`` (the reference warns and
+        rounds the same way, pipeline_chronoedit.py:606-611). Single source
+        of truth for __call__ and the batching server's latent shapes."""
+        num_frames = num_frames or (29 if enable_temporal_reasoning
+                                    else self.num_frames)
+        tfac = self.vae.temporal_factor
+        if num_frames % tfac != 1:
+            num_frames = max(num_frames // tfac * tfac + 1, 1)
+        return num_frames
+
 
 def prepare_condition(
     vae_params: Params,
@@ -351,6 +365,7 @@ class ChronoEditPipeline:
         num_temporal_reasoning_steps: int = 0,
         slg_layers: tuple[int, ...] = (),
         prompt: str = "",  # raw prompt text, used only by text guardrails
+        skip_text_guardrail: bool = False,  # caller already vetted the prompt
         key: jax.Array | None = None,
         latents: jnp.ndarray | None = None,
         output_type: str = "video",  # "video" | "latent"
@@ -359,16 +374,11 @@ class ChronoEditPipeline:
         returns the 5-frame clip whose last frame is the edit result), or raw
         latents with ``output_type="latent"``."""
         cfg = self.config
-        num_frames = num_frames or (29 if enable_temporal_reasoning else cfg.num_frames)
-        # round to a VAE-compatible frame count (tfac*k + 1), as the
-        # reference does with a warning (pipeline_chronoedit.py:606-611)
-        tfac = cfg.vae.temporal_factor
-        if num_frames % tfac != 1:
-            num_frames = max(num_frames // tfac * tfac + 1, 1)
+        num_frames = cfg.resolve_num_frames(num_frames, enable_temporal_reasoning)
         num_steps = num_steps or cfg.num_steps
         guidance = cfg.guidance_scale if guidance_scale is None else guidance_scale
         shift = flow_shift or cfg.flow_shift
-        if self.guardrails is not None:
+        if self.guardrails is not None and not skip_text_guardrail:
             self.guardrails.check_text_or_raise(prompt)
 
         b, _, h, w = image.shape

@@ -71,8 +71,11 @@ class _GroupKey:
     flow_shift: float | None
     reasoning: bool
     k_reason: int
-    has_neg: bool
-    has_image_emb: bool
+    # lengths, not booleans: two requests whose optional embeddings differ
+    # in token count must NOT share a batch (np.concatenate would fail the
+    # whole batch on the innocent request too); -1 = absent
+    neg_len: int
+    image_tokens: int
     prompt_len: int
     frame_only: bool
 
@@ -91,6 +94,11 @@ class _Request:
 
 class EditServer:
     def __init__(self, pipeline, cfg: ServerConfig = ServerConfig()):
+        if cfg.buckets and max(cfg.buckets) < cfg.max_batch:
+            raise ValueError(
+                f"buckets {cfg.buckets} do not cover max_batch "
+                f"{cfg.max_batch}: an over-sized batch would compile a "
+                "fresh program in the request path")
         self.pipeline = pipeline
         self.cfg = cfg
         self._groups: dict[_GroupKey, collections.deque] = {}
@@ -116,6 +124,18 @@ class EditServer:
             self._have_work.notify_all()
         if self._thread is not None:
             self._thread.join(timeout=30)
+        # fail anything still queued — a caller blocked on future.result()
+        # must not hang forever on shutdown
+        with self._lock:
+            for dq in self._groups.values():
+                while dq:
+                    req = dq.popleft()
+                    self._pending -= 1
+                    if not req.future.done():
+                        req.future.set_exception(
+                            RuntimeError("server shut down before this "
+                                         "request was served"))
+            self._groups.clear()
 
     def warmup(self, height: int, width: int, prompt_len: int = 512,
                with_image_emb: bool = True, buckets=None, **kw) -> None:
@@ -167,8 +187,10 @@ class EditServer:
             num_steps=num_steps, guidance=guidance_scale,
             flow_shift=flow_shift, reasoning=enable_temporal_reasoning,
             k_reason=num_temporal_reasoning_steps,
-            has_neg=neg_prompt_emb is not None,
-            has_image_emb=image_emb is not None,
+            neg_len=-1 if neg_prompt_emb is None
+            else np.asarray(neg_prompt_emb).shape[-2],
+            image_tokens=-1 if image_emb is None
+            else np.asarray(image_emb).shape[-2],
             prompt_len=prompt_emb.shape[1], frame_only=frame_only)
         req = _Request(image=image, prompt_emb=prompt_emb,
                        neg_prompt_emb=None if neg_prompt_emb is None
@@ -206,9 +228,11 @@ class EditServer:
                 if self._stop:
                     return None
                 oldest = None
+                for k in [k for k, dq in self._groups.items() if not dq]:
+                    del self._groups[k]  # unbounded key space (client params)
                 for dq in self._groups.values():
-                    if dq and (oldest is None
-                               or dq[0].enqueued < oldest[0].enqueued):
+                    if dq[0].enqueued < (oldest[0].enqueued
+                                         if oldest else float("inf")):
                         oldest = dq
                 if oldest is None:
                     self._have_work.wait()
@@ -224,10 +248,9 @@ class EditServer:
 
     def _latents_for(self, req: _Request) -> np.ndarray:
         cfg = self.pipeline.config
-        num_frames = 29 if req.key.reasoning else cfg.num_frames
-        tfac = cfg.vae.temporal_factor
-        if num_frames % tfac != 1:
-            num_frames = max(num_frames // tfac * tfac + 1, 1)
+        # same frame policy as pipeline.__call__ (single source of truth)
+        num_frames = cfg.resolve_num_frames(
+            enable_temporal_reasoning=req.key.reasoning)
         tl = cfg.vae.latent_frames(num_frames)
         hl = req.key.height // cfg.vae.spatial_factor
         wl = req.key.width // cfg.vae.spatial_factor
@@ -259,6 +282,10 @@ class EditServer:
             flow_shift=k.flow_shift,
             enable_temporal_reasoning=k.reasoning,
             num_temporal_reasoning_steps=k.k_reason,
+            # every prompt in the batch was vetted at submit time; without
+            # this the pipeline would re-run the text guard (possibly a
+            # full LLM generate) on "" for every batch
+            skip_text_guardrail=True,
             latents=latents)
         out = np.asarray(out[..., -1, :, :] if k.frame_only else out)
         self.stats["batches"] += 1

@@ -28,7 +28,12 @@ Protocol:
         image_emb / neg_prompt_emb                            optional
       -> .npz with array "edit" (3,H,W) in [-1,1]
          (or the full clip (3,T,H,W) with frame_only=0)
-      errors: 400 malformed, 403 guardrail-blocked, 503 queue full
+      errors: 400 malformed, 403 guardrail-blocked, 413 oversized body,
+              503 queue full
+  NOTE: --warmup compiles the image_emb variant of every batch bucket
+  (add --warmup-bare for the no-image_emb variant); other optional-field
+  combinations (e.g. first use of neg_prompt_emb) compile on first
+  request.
 """
 
 from __future__ import annotations
@@ -69,13 +74,20 @@ def parse_args(argv=None):
     p.add_argument("--warmup", type=str, default=None,
                    help="HxW — compile every batch bucket at this geometry "
                         "before accepting traffic")
+    p.add_argument("--warmup-bare", action="store_true",
+                   help="also compile the no-image_emb variant of each bucket")
+    p.add_argument("--max-body-mb", type=int, default=64,
+                   help="reject request bodies larger than this (413)")
     args = p.parse_args(argv)
     args._build = ri.build_pipeline
     return args
 
 
-def make_handler(server):
+def make_handler(server, max_body_mb: int = 64):
     """Request handler bound to an EditServer (separable for tests)."""
+    from chronoedit_tpu.aux.guardrails import GuardrailBlocked
+
+    server_max_body = max_body_mb * 1024 * 1024
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):  # quiet by default
@@ -107,35 +119,47 @@ def make_handler(server):
             def qget(name, cast, default):
                 return cast(q[name][0]) if name in q else default
 
+            n = int(self.headers.get("Content-Length", 0) or 0)
+            if n > server_max_body:
+                # drain in bounded chunks WITHOUT buffering (the cap guards
+                # memory, not wire) — responding before the client finishes
+                # writing races into a broken pipe instead of a clean 413
+                left = n
+                while left > 0:
+                    left -= len(self.rfile.read(min(left, 1 << 20)) or b"x")
+                self._json(413, {"error": f"body {n} B exceeds "
+                                          f"{server_max_body} B cap"})
+                return
             try:
-                n = int(self.headers.get("Content-Length", 0))
+                # query-param casts and submit()'s own validation are
+                # client errors too — everything up to the Future is 400
                 with np.load(io.BytesIO(self.rfile.read(n))) as z:
                     arrays = {k: z[k] for k in z.files}
                 image = arrays.pop("image")
                 prompt_emb = arrays.pop("prompt_emb")
+                fut = server.submit(
+                    image, prompt_emb,
+                    neg_prompt_emb=arrays.get("neg_prompt_emb"),
+                    image_emb=arrays.get("image_emb"),
+                    seed=qget("seed", int, 0),
+                    prompt=qget("prompt", str, ""),
+                    num_steps=qget("steps", int, None),
+                    guidance_scale=qget("guidance", float, None),
+                    flow_shift=qget("shift", float, None),
+                    enable_temporal_reasoning=bool(qget("reasoning", int, 0)),
+                    num_temporal_reasoning_steps=qget("reasoning_steps", int, 0),
+                    frame_only=bool(qget("frame_only", int, 1)))
             except Exception as e:  # noqa: BLE001 - malformed client input
-                self._json(400, {"error": f"bad request body: {e}"})
+                self._json(400, {"error": f"bad request: {e}"})
                 return
-
-            fut = server.submit(
-                image, prompt_emb,
-                neg_prompt_emb=arrays.get("neg_prompt_emb"),
-                image_emb=arrays.get("image_emb"),
-                seed=qget("seed", int, 0),
-                prompt=qget("prompt", str, ""),
-                num_steps=qget("steps", int, None),
-                guidance_scale=qget("guidance", float, None),
-                flow_shift=qget("shift", float, None),
-                enable_temporal_reasoning=bool(qget("reasoning", int, 0)),
-                num_temporal_reasoning_steps=qget("reasoning_steps", int, 0),
-                frame_only=bool(qget("frame_only", int, 1)))
             try:
                 edit = fut.result()
+            except GuardrailBlocked as e:
+                self._json(403, {"error": str(e)})
+                return
             except Exception as e:  # noqa: BLE001 - surface as HTTP status
                 msg = str(e)
-                code = (503 if "queue full" in msg
-                        else 403 if "guardrail" in msg.lower() else 500)
-                self._json(code, {"error": msg})
+                self._json(503 if "queue full" in msg else 500, {"error": msg})
                 return
             buf = io.BytesIO()
             np.savez(buf, edit=edit)
@@ -158,8 +182,11 @@ def main(argv=None):
         print(f"[serve] compiling batch buckets "
               f"{server.cfg.resolved_buckets()} at {h}x{w} ...", flush=True)
         server.warmup(h, w)
+        if args.warmup_bare:
+            server.warmup(h, w, with_image_emb=False)
 
-    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))
+    httpd = ThreadingHTTPServer((args.host, args.port),
+                                make_handler(server, args.max_body_mb))
     print(f"[serve] listening on {args.host}:{httpd.server_address[1]} "
           f"({server.health()['device']})", flush=True)
     try:

@@ -210,3 +210,84 @@ def test_http_endpoint_end_to_end():
     finally:
         httpd.shutdown()
         srv.stop()
+
+
+def test_bucket_validation_rejects_uncovering_buckets():
+    with pytest.raises(ValueError, match="do not cover max_batch"):
+        EditServer(FakePipeline(), ServerConfig(max_batch=4, buckets=(1, 2)))
+
+
+def test_stop_fails_pending_futures():
+    pipe = FakePipeline()
+    srv = EditServer(pipe, ServerConfig())  # batcher never started
+    image, prompt = _req(pipe.config)
+    fut = srv.submit(image, prompt)
+    srv.stop()
+    with pytest.raises(RuntimeError, match="shut down"):
+        fut.result(timeout=5)
+    assert srv.health()["pending"] == 0
+
+
+def test_mixed_neg_lengths_never_share_a_batch():
+    pipe = FakePipeline()
+    srv = EditServer(pipe, ServerConfig(max_batch=4, max_wait_ms=100))
+    image, prompt = _req(pipe.config)
+    neg_a = np.zeros((1, 6, pipe.config.dit.text_dim), np.float32)
+    neg_b = np.zeros((1, 12, pipe.config.dit.text_dim), np.float32)
+    f1 = srv.submit(image, prompt, neg_prompt_emb=neg_a)
+    f2 = srv.submit(image, prompt, neg_prompt_emb=neg_b)
+    srv.start()
+    try:
+        f1.result(timeout=30)
+        f2.result(timeout=30)
+        # a shared batch would have thrown in np.concatenate; also check
+        # the batches really were separate
+        assert srv.stats["batches"] == 2
+    finally:
+        srv.stop()
+
+
+def test_http_error_statuses():
+    """400 malformed / 403 guardrail / 413 oversized via the real handler,
+    no jit (fake pipeline)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from http.server import ThreadingHTTPServer
+
+    import serve as serve_mod
+    from chronoedit_tpu.aux.guardrails import (Blocklist, GuardrailRunner,
+                                               Guardrails)
+
+    pipe = FakePipeline()
+    pipe.guardrails = Guardrails(text=GuardrailRunner(
+        [("blocklist", Blocklist(exact_words=("forbidden",)))]))
+    srv = EditServer(pipe, ServerConfig(max_wait_ms=5)).start()
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), serve_mod.make_handler(srv, max_body_mb=1))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+    def post(path, body):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", data=body, method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return r.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    import urllib.error
+
+    image, prompt = _req(pipe.config)
+    buf = io.BytesIO()
+    np.savez(buf, image=image, prompt_emb=prompt)
+    body = buf.getvalue()
+    try:
+        assert post("/edit?seed=notanint", body) == 400          # bad param
+        assert post("/edit", b"not an npz") == 400               # bad body
+        assert post("/edit?prompt=forbidden", body) == 403       # guardrail
+        assert post("/edit", b"x" * (1024 * 1024 + 1)) == 413    # oversized
+        assert post("/edit?seed=1", body) == 200                 # still alive
+    finally:
+        httpd.shutdown()
+        srv.stop()

@@ -56,6 +56,14 @@ class PipelineConfig:
     # solver steps (1 = exact / off). The reference has no equivalent.
     cache_blocks: tuple[int, int] | None = None
     cache_period: int = 1
+    # adaptive refresh (TeaCache-style, arXiv:2411.19108 — ours gates on the
+    # solver latents' accumulated relative L1 change, a jit-friendly scalar
+    # carried through the denoise scan instead of the timestep-modulated
+    # input): when set, blocks [a, b) refresh whenever the accumulated
+    # change since the last refresh crosses the threshold, overriding the
+    # fixed period. 0.0 refreshes every step (exact); larger values trade
+    # fidelity for fewer refreshes exactly where the trajectory is flat.
+    cache_thresh: float | None = None
 
     @property
     def latent_channels(self) -> int:
@@ -206,11 +214,15 @@ class ChronoEditPipeline:
         *unconditional* forward, wan2pt1.py:842-843).
 
         With ``stateful`` (the Δ-DiT block cache, ``PipelineConfig.
-        cache_blocks/cache_period``), the closure has signature
-        ``fn(x, t, step_idx, cache) -> (v, cache)`` — blocks [a, b) only run
-        on every ``cache_period``-th step (counted from ``step0``, so a
-        solver phase starting mid-trajectory refreshes on its first step),
-        otherwise their cached token delta is reused."""
+        cache_blocks/cache_period/cache_thresh``), the closure has signature
+        ``fn(x, t, step_idx, aux) -> (v, aux)`` — blocks [a, b) only run
+        on refresh steps, otherwise their cached token delta is reused.
+        Fixed-period mode refreshes every ``cache_period``-th step (counted
+        from ``step0``, so a solver phase starting mid-trajectory refreshes
+        on its first step) and ``aux`` is the bare cache array; adaptive
+        mode (``cache_thresh``) refreshes when the latents' accumulated
+        relative change crosses the threshold and ``aux`` also carries the
+        accumulator and last-refresh latents."""
         cfg = self.config
         do_cfg = guidance > 1.0 and neg_text_emb is not None
         slg_mask = None
@@ -221,23 +233,47 @@ class ChronoEditPipeline:
             mask[list(slg_layers)] = 0.0
             slg_mask = jnp.asarray(mask)
         cache_kw = dict(cache_blocks=cfg.cache_blocks) if stateful else {}
+        adaptive = stateful and cfg.cache_thresh is not None
 
-        def fwd(xin, ts, text, img, mask=None, idx=None, cache=None):
+        def decide(x, idx, aux):
+            """Unpack the solver-carried aux -> (cache, refresh, pack) where
+            ``pack(new_cache)`` rebuilds the aux for the next step.
+
+            Fixed-period mode carries the bare cache array; adaptive mode
+            carries {cache, acc, prev} and refreshes when the accumulated
+            relative L1 change of the latents since the last refresh crosses
+            ``cfg.cache_thresh`` (always on the phase's first step)."""
+            if not adaptive:
+                return aux, (idx - step0) % cfg.cache_period == 0, lambda c: c
+            xf = x.astype(jnp.float32)
+            prev = aux["prev"]
+            rel = (jnp.mean(jnp.abs(xf - prev))
+                   / (jnp.mean(jnp.abs(prev)) + 1e-6))
+            acc = aux["acc"] + rel
+            refresh = (idx == step0) | (acc >= cfg.cache_thresh)
+            new_acc = jnp.where(refresh, 0.0, acc)
+            return (aux["cache"], refresh,
+                    lambda c: {"cache": c, "acc": new_acc, "prev": xf})
+
+        def fwd(xin, ts, text, img, mask=None, cache=None, refresh=None):
             if not stateful:
                 return dit_lib.dit_forward(
                     dit_params, cfg.dit, xin, ts, text, img,
                     layer_mask=mask, mesh=self.mesh)
             return dit_lib.dit_forward(
                 dit_params, cfg.dit, xin, ts, text, img, mesh=self.mesh,
-                cache=cache,
-                cache_refresh=(idx - step0) % cfg.cache_period == 0,
-                **cache_kw)
+                cache=cache, cache_refresh=refresh, **cache_kw)
 
         if not do_cfg:
-            def fn(x, t, idx=None, cache=None):
+            def fn(x, t, idx=None, aux=None):
                 xin = jnp.concatenate([x.astype(cfg.dit.dtype), condition], axis=1)
                 ts = jnp.broadcast_to(t, (x.shape[0],))
-                return fwd(xin, ts, text_emb, image_emb, idx=idx, cache=cache)
+                if not stateful:
+                    return fwd(xin, ts, text_emb, image_emb)
+                cache, refresh, pack = decide(x, idx, aux)
+                v, c = fwd(xin, ts, text_emb, image_emb, cache=cache,
+                           refresh=refresh)
+                return v, pack(c)
             return fn
 
         if cfg.cfg_batched and slg_mask is None:
@@ -245,15 +281,19 @@ class ChronoEditPipeline:
             img2 = None if image_emb is None else jnp.concatenate([image_emb] * 2, axis=0)
             cond2 = jnp.concatenate([condition] * 2, axis=0)
 
-            def fn(x, t, idx=None, cache=None):
+            def fn(x, t, idx=None, aux=None):
                 x2 = jnp.concatenate([x, x], axis=0).astype(cfg.dit.dtype)
                 xin = jnp.concatenate([x2, cond2], axis=1)
                 ts = jnp.broadcast_to(t, (x2.shape[0],))
-                out = fwd(xin, ts, text2, img2, idx=idx, cache=cache)
-                v, cache = out if stateful else (out, None)
+                if stateful:
+                    cache, refresh, pack = decide(x, idx, aux)
+                    v, c = fwd(xin, ts, text2, img2, cache=cache,
+                               refresh=refresh)
+                else:
+                    v, pack, c = fwd(xin, ts, text2, img2), None, None
                 v_cond, v_uncond = jnp.split(v, 2, axis=0)
                 v = v_uncond + guidance * (v_cond - v_uncond)
-                return (v, cache) if stateful else v
+                return (v, pack(c)) if stateful else v
             return fn
 
         if stateful:
@@ -291,7 +331,8 @@ class ChronoEditPipeline:
                                       neg_prompt_emb, image_emb, guidance,
                                       slg_layers)
 
-            use_cache = cfg.cache_blocks is not None and cfg.cache_period > 1
+            use_cache = cfg.cache_blocks is not None and (
+                cfg.cache_period > 1 or cfg.cache_thresh is not None)
 
             def stateful_fn(cond, step0):
                 return self._model_fn(dit_params, cond, prompt_emb,
@@ -302,7 +343,14 @@ class ChronoEditPipeline:
                 do_cfg = guidance > 1.0 and neg_prompt_emb is not None
                 b_eff = lat.shape[0] * (2 if do_cfg else 1)
                 s_tok = lat.shape[2] * (lat.shape[3] // 2) * (lat.shape[4] // 2)
-                return jnp.zeros((b_eff, s_tok, cfg.dit.dim), cfg.dit.dtype)
+                c = jnp.zeros((b_eff, s_tok, cfg.dit.dim), cfg.dit.dtype)
+                if cfg.cache_thresh is None:
+                    return c
+                # adaptive mode: carry the change accumulator and the latents
+                # as of the last refresh (the phase's first step always
+                # refreshes, so acc/prev initial values are don't-cares)
+                return {"cache": c, "acc": jnp.float32(0.0),
+                        "prev": lat.astype(jnp.float32)}
 
             def phase(st, cond, start, end):
                 """Solver steps [start, end); each phase carries its own

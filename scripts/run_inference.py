@@ -44,6 +44,11 @@ def parse_args():
     p.add_argument("--quantize", action="store_true",
                    help="int8 w8a8 DiT projections (serving accel, "
                         "docs/SERVING.md)")
+    p.add_argument("--cache-thresh", type=float, default=None,
+                   help="adaptive block-cache refresh: refresh blocks [A,B) "
+                        "when the latents' accumulated relative change since "
+                        "the last refresh crosses this value (overrides the "
+                        "fixed period; requires --cache-blocks)")
     p.add_argument("--cache-blocks", type=str, default=None,
                    help="A:B[:period] — Δ-DiT block cache over blocks [A,B) "
                         "refreshed every `period` solver steps")
@@ -88,7 +93,9 @@ def build_pipeline(args):
         a, b = parts[0], parts[1]
         period = parts[2] if len(parts) > 2 else 2
         pipe.config = dataclasses.replace(pipe.config, cache_blocks=(a, b),
-                                          cache_period=period)
+                                          cache_period=period,
+                                          cache_thresh=getattr(
+                                              args, "cache_thresh", None))
 
     if args.quantize:
         pipe.quantize()  # re-shards itself when a mesh is attached

@@ -62,6 +62,9 @@ def parse_args(argv=None):
     p.add_argument("--mesh", type=str, default=None)
     p.add_argument("--quantize", action="store_true")
     p.add_argument("--cache-blocks", type=str, default=None)
+    p.add_argument("--cache-thresh", type=float, default=None,
+                   help="adaptive block-cache refresh threshold "
+                        "(see run_inference.py --cache-thresh)")
     p.add_argument("--lora", type=str, action="append", default=[])
     p.add_argument("--smoke", action="store_true",
                    help="random weights (no checkpoint) — dev/e2e testing")

@@ -183,3 +183,36 @@ def test_reasoning_with_cache_runs_and_period1_exact():
     ref = pipe_off(image, prompt, **kw)
     np.testing.assert_allclose(np.asarray(base), np.asarray(ref), atol=1e-6)
     assert float(jnp.abs(out - ref).max()) < 0.5
+
+
+def test_cache_adaptive_thresh():
+    """Adaptive refresh (PipelineConfig.cache_thresh, TeaCache-style): the
+    accumulated relative latent change gates refreshes instead of a fixed
+    period. thresh=0 refreshes every step (== the exact uncached pipeline);
+    a huge thresh refreshes only on the phase's first step (== a fixed
+    period >= num_steps); an intermediate thresh stays finite and close."""
+    pcfg = chronoedit_tiny()
+    pcfg = dataclasses.replace(pcfg, num_steps=4)
+    dit_params = dit_lib.init_dit_params(jax.random.PRNGKey(0), pcfg.dit)
+    vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), pcfg.vae)
+
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    image = jax.random.uniform(ks[0], (1, 3, 16, 16), jnp.float32, -1, 1)
+    prompt = jax.random.normal(ks[1], (1, 8, pcfg.dit.text_dim), jnp.float32)
+
+    def run(**cache_kw):
+        cfg = dataclasses.replace(pcfg, **cache_kw)
+        pipe = ChronoEditPipeline(cfg, dit_params, vae_params)
+        return np.asarray(pipe(image, prompt, key=jax.random.PRNGKey(3)))
+
+    ref = run()  # uncached exact
+    every = run(cache_blocks=(1, 2), cache_thresh=0.0)
+    np.testing.assert_allclose(every, ref, atol=1e-6)
+
+    lazy = run(cache_blocks=(1, 2), cache_thresh=1e9)
+    first_only = run(cache_blocks=(1, 2), cache_period=pcfg.num_steps)
+    np.testing.assert_allclose(lazy, first_only, atol=1e-6)
+
+    mid = run(cache_blocks=(1, 2), cache_thresh=0.05)
+    assert np.isfinite(mid).all()
+    assert float(np.abs(mid - ref).max()) < 0.5

@@ -15,8 +15,10 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.makedirs("/tmp/jax_cache", exist_ok=True)
 
 import jax  # noqa: E402
@@ -52,24 +54,30 @@ def main():
     # UMT5-xxl at serving shape: one 512-token prompt, bf16 params (~11.6 GB
     # — fits one v5e chip alone; on the serving mesh it is TP-sharded)
     tcfg = umt5_lib.umt5_xxl_config(param_dtype=jnp.bfloat16)
-    tparams = umt5_lib.init_umt5_params(jax.random.PRNGKey(0), tcfg)
+    # init under jit (stays on device) and pass params as an ARGUMENT —
+    # closing over them bakes 11.4 GB of constants into the lowered program
+    # and the lowering alone blows a 10-minute budget on the tunneled link
+    tparams = jax.jit(
+        lambda k: umt5_lib.init_umt5_params(k, tcfg))(jax.random.PRNGKey(0))
     ids = jax.random.randint(jax.random.PRNGKey(1), (1, tcfg.text_len),
                              0, tcfg.vocab_size)
     mask = jnp.ones((1, tcfg.text_len), jnp.int32)
-    enc = jax.jit(lambda i, m: jnp.sum(
-        umt5_lib.umt5_encode(tparams, tcfg, i, m).astype(jnp.float32)))
-    umt5_s = max(_timeit(enc, ids, mask, iters=args.iters) - readback, 0.0)
+    enc = jax.jit(lambda p, i, m: jnp.sum(
+        umt5_lib.umt5_encode(p, tcfg, i, m).astype(jnp.float32)))
+    umt5_s = max(_timeit(enc, tparams, ids, mask, iters=args.iters) - readback,
+                 0.0)
     del tparams, enc
     jax.clear_caches()
 
     ccfg = clip_lib.CLIPVisionConfig()
-    cparams = clip_lib.init_clip_vision_params(jax.random.PRNGKey(2), ccfg)
+    cparams = jax.jit(
+        lambda k: clip_lib.init_clip_vision_params(k, ccfg))(jax.random.PRNGKey(2))
     img = jax.random.normal(jax.random.PRNGKey(3),
                             (1, 3, ccfg.image_size, ccfg.image_size),
                             jnp.float32)
-    cenc = jax.jit(lambda x: jnp.sum(
-        clip_lib.clip_vision_forward(cparams, ccfg, x).astype(jnp.float32)))
-    clip_s = max(_timeit(cenc, img, iters=args.iters) - readback, 0.0)
+    cenc = jax.jit(lambda p, x: jnp.sum(
+        clip_lib.clip_vision_forward(p, ccfg, x).astype(jnp.float32)))
+    clip_s = max(_timeit(cenc, cparams, img, iters=args.iters) - readback, 0.0)
 
     print(json.dumps({
         "device": str(jax.devices()[0]),

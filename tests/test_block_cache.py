@@ -216,3 +216,30 @@ def test_cache_adaptive_thresh():
     mid = run(cache_blocks=(1, 2), cache_thresh=0.05)
     assert np.isfinite(mid).all()
     assert float(np.abs(mid - ref).max()) < 0.5
+
+
+def test_adaptive_cache_under_mesh_matches_unsharded():
+    """The adaptive carry (scalar accumulator + last-refresh latents riding
+    the denoise scan) must survive GSPMD like the bare cache does: the
+    sharded adaptive pipeline matches the unsharded one."""
+    from chronoedit_tpu.parallel import MeshConfig, make_mesh, shard_params
+    from chronoedit_tpu.parallel.sharding import dit_param_sharding
+
+    pcfg = chronoedit_tiny()
+    pcfg = dataclasses.replace(pcfg, num_steps=4, cache_blocks=(1, 2),
+                               cache_thresh=0.05)
+    dit_params = dit_lib.init_dit_params(jax.random.PRNGKey(0), pcfg.dit)
+    vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), pcfg.vae)
+
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    image = jax.random.uniform(ks[0], (1, 3, 16, 16), jnp.float32, -1, 1)
+    prompt = jax.random.normal(ks[1], (1, 8, pcfg.dit.text_dim), jnp.float32)
+
+    ref = np.asarray(ChronoEditPipeline(pcfg, dit_params, vae_params)(
+        image, prompt, key=jax.random.PRNGKey(3)))
+
+    mesh = make_mesh(MeshConfig(data=2, tensor=2, context=2))
+    sharded = shard_params(dit_params, mesh, dit_param_sharding(mesh))
+    pipe_s = ChronoEditPipeline(pcfg, sharded, vae_params, mesh=mesh)
+    out_s = np.asarray(pipe_s(image, prompt, key=jax.random.PRNGKey(3)))
+    np.testing.assert_allclose(out_s, ref, rtol=2e-3, atol=2e-3)

@@ -226,7 +226,7 @@ def bench_vae_s() -> dict:
     return {"encode_s": t_enc, "decode_s": t_dec}
 
 
-def _init_quantized_dit(dit_cfg):
+def _init_quantized_dit(dit_cfg, mode: str = "int8"):
     """Build a quantized DiT param tree WITHOUT materializing the full bf16
     stack first: the int8 stack is preallocated on device and one layer at a
     time is initialized, quantized, and written in with a donated
@@ -243,10 +243,11 @@ def _init_quantized_dit(dit_cfg):
 
     one = dc.replace(dit_cfg, num_layers=1)
     qinit = jax.jit(lambda k: quantize_dit_params(
-        dit_lib.init_dit_params(k, one)))
+        dit_lib.init_dit_params(k, one), mode=mode))
 
     stacked = jax.eval_shape(
-        lambda k: quantize_dit_params(dit_lib.init_dit_params(k, dit_cfg)),
+        lambda k: quantize_dit_params(dit_lib.init_dit_params(k, dit_cfg),
+                                      mode=mode),
         jax.random.PRNGKey(0))
     blocks = jax.jit(lambda: jax.tree_util.tree_map(
         lambda l: jnp.zeros(l.shape, l.dtype), stacked["blocks"]))()
@@ -268,11 +269,13 @@ def _init_quantized_dit(dit_cfg):
     return params
 
 
-def quantized_dit_bytes(layers: int) -> int:
+def quantized_dit_bytes(layers: int, mode: str = "int8") -> int:
     """Exact parameter bytes of the quantized DiT at ``layers`` depth (from
-    eval_shape — no allocation). Note the context kv projections stay bf16
+    eval_shape — no allocation). int8 keeps the context kv projections bf16
     (0.21 GB/layer), so 'int8 weights' are ~0.51 GB/layer, not 0.3: the full
-    40-layer model is ~20.5 GB even quantized and cannot fit one v5e chip."""
+    40-layer model is ~20.5 GB even in int8 and cannot fit one v5e chip.
+    int4 (w4a16 grouped, ops/quant.py) packs everything: ~8.4 GB at 40
+    layers — the whole 14B model on ONE chip."""
     import dataclasses as dc
 
     from chronoedit_tpu.configs import chronoedit_14b
@@ -282,21 +285,23 @@ def quantized_dit_bytes(layers: int) -> int:
     cfg = dc.replace(chronoedit_14b().dit, num_layers=layers,
                      param_dtype=jnp.bfloat16)
     shapes = jax.eval_shape(
-        lambda k: quantize_dit_params(dit_lib.init_dit_params(k, cfg)),
+        lambda k: quantize_dit_params(dit_lib.init_dit_params(k, cfg),
+                                      mode=mode),
         jax.random.PRNGKey(0))
     return sum(l.size * l.dtype.itemsize
                for l in jax.tree_util.tree_leaves(shapes))
 
 
-def bench_e2e_pipeline_s(layers: int = 8, quantize: bool = False,
+def bench_e2e_pipeline_s(layers: int = 8, quantize=False,
                          cache: tuple | None = None) -> dict:
     """Measured end-to-end 8-step distilled edit at 720p on ONE chip.
 
     bf16 at 40 layers does not fit one chip (28 GB weights), so the bf16
     run uses a reduced depth and the 40-layer figure scales the block-loop
-    portion only. ``quantize=True`` builds int8 params layer-by-layer (see
-    :func:`_init_quantized_dit`) so the deepest HBM-feasible depth is set by
-    the *quantized* footprint, not a transient bf16 copy.
+    portion only. ``quantize=True`` (int8) or ``quantize="int4"`` builds
+    quantized params layer-by-layer (see :func:`_init_quantized_dit`) so
+    the deepest HBM-feasible depth is set by the *quantized* footprint, not
+    a transient bf16 copy — int4 fits ALL 40 layers on one chip.
     ``cache=((a, b), k)`` engages the Δ-DiT block cache — blocks [a, b)
     reuse their cached token delta except every k-th solver step."""
     import dataclasses as dc
@@ -313,7 +318,8 @@ def bench_e2e_pipeline_s(layers: int = 8, quantize: bool = False,
         cfg = dc.replace(cfg, cache_blocks=tuple(cache[0]),
                          cache_period=cache[1])
     if quantize:
-        dit_params = _init_quantized_dit(cfg.dit)
+        mode = quantize if isinstance(quantize, str) else "int8"
+        dit_params = _init_quantized_dit(cfg.dit, mode=mode)
     else:
         dit_params = dit_lib.init_dit_params(jax.random.PRNGKey(0), cfg.dit)
     vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), cfg.vae)
@@ -401,6 +407,29 @@ def bench_e2e_int8_deepest() -> dict | None:
             _CACHE["int8_e2e_depth"] = hist
             _CACHE_DIRTY = True
     return None
+
+
+def bench_e2e_int4_full() -> dict | None:
+    """Measured FULL-DEPTH (40-layer) single-chip e2e via the w4a16 grouped
+    int4 path (ops/quant.py): ~8.4 GB of weights, so the whole 14B model
+    fits ONE v5e chip and the flagship depth is measured, not extrapolated.
+    Quality is gated by tests/test_quant.py::test_int4_pipeline_psnr_gate.
+    Feasibility result persists to bench_cache.json like the int8 probe."""
+    global _CACHE_DIRTY
+    hist = dict(_CACHE.get("int4_e2e_40", {}))
+    if hist.get("infeasible"):
+        print("[bench] cached: int4 40-layer e2e infeasible", file=sys.stderr)
+        return None
+    try:
+        return bench_e2e_pipeline_s(layers=40, quantize="int4")
+    except Exception as e:
+        oomish = ("RESOURCE_EXHAUSTED" in str(e) or "remote_compile" in str(e))
+        print(f"[bench] int4 40-layer e2e failed ({'OOM-ish' if oomish else type(e).__name__}): "
+              f"{str(e)[:300]}", file=sys.stderr)
+        if oomish:
+            _CACHE["int4_e2e_40"] = {"infeasible": True}
+            _CACHE_DIRTY = True
+        return None
 
 
 # ------------------------------------------------- sharded-program metrics
@@ -541,6 +570,7 @@ def _assemble(partial: dict) -> dict:
     e2e = partial.get("e2e")
     e2e_int8 = partial.get("e2e_int8")
     e2e_int8_c = partial.get("e2e_int8_cached")
+    e2e_int4 = partial.get("e2e_int4_40")
 
     total = estimate(dit1, DENOISE_STEPS, comm_edit)
     total_int8 = estimate(dit1_q, DENOISE_STEPS, comm_int8)
@@ -606,6 +636,13 @@ def _assemble(partial: dict) -> dict:
         # 720p pipeline at the stated depth with int8 projections, one chip
         "e2e_measured_s_1chip_int8": r(e2e_int8 and e2e_int8["measured_s"], 3),
         "e2e_measured_int8_layers": e2e_int8 and e2e_int8["layers"],
+        # FULL 40-layer model on one chip via w4a16 grouped int4 (~8.4 GB
+        # weights) — the flagship depth MEASURED, and the zero-collective
+        # throughput recipe: one replica per chip, 8 requests in flight
+        "e2e_measured_s_1chip_40layer_int4": r(
+            e2e_int4 and e2e_int4["measured_s"], 3),
+        "est_edits_per_s_v5e8_int4_replicated": r(
+            e2e_int4 and N_CHIPS_TARGET / e2e_int4["measured_s"], 3),
         # Δ-DiT block cache engaged (middle 60% of blocks, period 2) at the
         # same depth — measured speedup for SERVING.md lever #4
         "e2e_measured_s_1chip_int8_blockcache": r(
@@ -748,6 +785,12 @@ def main():
         PARTIAL["e2e_int8_cached"] = stage(
             "e2e_int8_cached", bench_e2e_pipeline_s, layers=L, quantize=True,
             cache=((L // 5, L - L // 5), 2), min_remaining=300)
+    # flagship MEASURED number: the FULL 40-layer model on one chip (int4
+    # w4a16 capacity path) — no extrapolation, no collectives; also the
+    # throughput recipe (replicate per chip, 8 independent requests/v5e-8)
+    PARTIAL["e2e_int4_40"] = stage("e2e_int4_40", bench_e2e_int4_full,
+                                   min_remaining=480)
+    _release_device_memory()
     PARTIAL["e2e"] = stage("e2e", bench_e2e_pipeline_s, min_remaining=240)
     PARTIAL["dit2"] = stage("dit2", bench_dit_block_ms, batch=2,
                             min_remaining=300)

@@ -37,10 +37,14 @@ def linear_init(key, d_in: int, d_out: int, bias: bool = True,
 
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    if "kernel_q" in p:  # int8 serving path (ops/quant.py)
+    if "kernel_q" in p:  # int8 w8a8 serving path (ops/quant.py)
         from chronoedit_tpu.ops.quant import quantized_linear
 
         return quantized_linear(p, x)
+    if "kernel_q4" in p:  # int4 w4a16 capacity path (ops/quant.py)
+        from chronoedit_tpu.ops.quant import quantized_linear_int4
+
+        return quantized_linear_int4(p, x)
     y = x @ p["kernel"].astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)

@@ -67,7 +67,72 @@ def quantized_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def is_quantized(p: Params) -> bool:
-    return isinstance(p, dict) and "kernel_q" in p
+    return isinstance(p, dict) and ("kernel_q" in p or "kernel_q4" in p)
+
+
+# ------------------------------------------------------------- int4 (w4a16)
+
+# Grouped int4 weight-only quantization: a CAPACITY scheme, not a throughput
+# one. The full int8 (w8a8) model is ~20.5 GB and cannot fit one 16 GB v5e
+# chip; int4 weights put the 40-layer 14B DiT at ~8.4 GB, so the whole model
+# serves on a SINGLE chip. Compute stays bf16 (weights are dequantized on the
+# fly; the dequant is elementwise work XLA fuses ahead of the matmul, and at
+# 7.2k-token serving shapes the projections are MXU-compute-bound, so the
+# extra weight pass costs ~10%). Quality is held by per-(group=128, out
+# channel) scales — max elementwise error scale/2 = absmax_group/14 — gated
+# by the same pipeline-level PSNR test as int8 (tests/test_quant.py).
+
+INT4_GROUP = 128
+
+
+def quantize_linear_params_int4(p: Params, group: int = INT4_GROUP) -> Params:
+    """{"kernel": (in, out) float, "bias"?} -> packed int4 kernel with
+    per-(group, out-channel) scales.
+
+    Layout: ``kernel_q4`` is (g, group//2, out) int8 — two nibbles per byte
+    along the in-dim, low nibble = even index — and ``kernel_scale4`` is
+    (g, out) float32 where g = ceil(in / group). The in-dim is zero-padded to
+    a group multiple (zero rows quantize to 0 and contribute nothing)."""
+    k = p["kernel"].astype(jnp.float32)
+    din, dout = k.shape
+    g = -(-din // group)
+    if g * group != din:
+        k = jnp.pad(k, ((0, g * group - din), (0, 0)))
+    kg = k.reshape(g, group, dout)
+    scale = jnp.maximum(jnp.max(jnp.abs(kg), axis=1), _EPS) / 7.0  # (g, out)
+    q = jnp.clip(jnp.round(kg / scale[:, None, :]), -7, 7).astype(jnp.int8)
+    lo, hi = q[:, 0::2], q[:, 1::2]
+    packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0x0F),
+                            jnp.left_shift(hi, 4)).astype(jnp.int8)
+    out = {"kernel_q4": packed, "kernel_scale4": scale}
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
+
+
+def _unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """(g, group//2, out) packed int8 -> (g, group, out) int8 in [-7, 7].
+    Arithmetic shifts on int8 sign-extend the nibbles."""
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
+    hi = jnp.right_shift(packed, 4)
+    g, half, dout = packed.shape
+    return jnp.stack([lo, hi], axis=2).reshape(g, half * 2, dout)
+
+
+def quantized_linear_int4(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """w4a16 linear: dequantize grouped int4 weights to the activation dtype
+    and run a plain (MXU bf16) matmul. Output in ``x.dtype``."""
+    q = _unpack_int4(p["kernel_q4"])                     # (g, group, out)
+    w = q.astype(x.dtype) * p["kernel_scale4"][:, None, :].astype(x.dtype)
+    g, group, dout = w.shape
+    w = w.reshape(g * group, dout)
+    din = x.shape[-1]
+    if g * group != din:  # in-dim was padded to a group multiple
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, g * group - din)])
+    y = x @ w
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
 
 
 # DiT block linears worth quantizing: the per-token projections. The tiny
@@ -80,24 +145,39 @@ _BLOCK_LINEARS = (
     ("ffn", "fc1"), ("ffn", "fc2"),
 )
 
+# int4 is a capacity scheme (fit the 14B model on ONE chip), so it also
+# takes the per-context kv projections that int8 skips for throughput
+# reasons — every bf16 kernel left behind costs 0.21 GB/layer of the HBM
+# budget the scheme exists to save.
+_BLOCK_LINEARS_INT4 = _BLOCK_LINEARS + (
+    ("cross_attn", "k"), ("cross_attn", "v"),
+    ("cross_attn", "k_img"), ("cross_attn", "v_img"),
+)
+
 
 def quantize_dit_params(params: Params,
-                        skip: tuple[tuple[str, str], ...] = ()) -> Params:
+                        skip: tuple[tuple[str, str], ...] = (),
+                        mode: str = "int8") -> Params:
     """Quantize the stacked DiT block projections in-place-shaped: returns a
     new pytree where each targeted linear carries ``kernel_q``/``kernel_scale``
-    instead of ``kernel``. Stacked (L, in, out) kernels get per-(layer, out)
-    scales via vmap.
+    (``mode="int8"``, w8a8) or ``kernel_q4``/``kernel_scale4``
+    (``mode="int4"``, w4a16 grouped) instead of ``kernel``. Stacked
+    (L, in, out) kernels get per-layer scales via vmap.
 
     ``skip`` lists (module, name) projections to keep bf16 — the sensitivity
-    escape hatch when the int8 PSNR gate fails for a given checkpoint (use
-    :func:`rank_projection_sensitivity` to pick). Per-*projection* rather
-    than per-layer granularity: the scan over weight-stacked blocks needs a
-    homogeneous pytree across layers, so a projection is either int8 in
-    every layer or bf16 in every layer."""
+    escape hatch when the pipeline PSNR gate fails for a given checkpoint
+    (use :func:`rank_projection_sensitivity` to pick). Per-*projection*
+    rather than per-layer granularity: the scan over weight-stacked blocks
+    needs a homogeneous pytree across layers, so a projection is either
+    quantized in every layer or bf16 in every layer."""
+    if mode not in ("int8", "int4"):
+        raise ValueError(f"unknown quantization mode {mode!r}")
+    targets = _BLOCK_LINEARS if mode == "int8" else _BLOCK_LINEARS_INT4
+    qfn = quantize_linear_params if mode == "int8" else quantize_linear_params_int4
     out = dict(params)
     blocks = {k: (dict(v) if isinstance(v, dict) else v)
               for k, v in params["blocks"].items()}
-    for mod, name in _BLOCK_LINEARS:
+    for mod, name in targets:
         if mod not in blocks or name not in blocks[mod]:
             continue
         if (mod, name) in skip:
@@ -105,19 +185,23 @@ def quantize_dit_params(params: Params,
         if is_quantized(blocks[mod][name]):
             continue  # idempotent: pipeline.quantize() may be called twice
         sub = dict(blocks[mod])
-        sub[name] = jax.vmap(quantize_linear_params)(sub[name])
+        sub[name] = jax.vmap(qfn)(sub[name])
         blocks[mod] = sub
     out["blocks"] = blocks
     return out
 
 
-def rank_projection_sensitivity(params: Params) -> list[tuple[tuple[str, str], float]]:
-    """Rank the quantizable projections by weight-quantization error (worst
-    first): max over layers of the per-channel relative int8 error. Feed the
-    top-K into ``quantize_dit_params(skip=...)`` when a checkpoint fails the
+def rank_projection_sensitivity(
+        params: Params, mode: str = "int8",
+) -> list[tuple[tuple[str, str], float]]:
+    """Rank the quantizable projections (for ``mode``) by weight-quantization
+    error (worst first): max over layers of the per-channel relative int8
+    error — a proxy that ranks int4 sensitivity too. Feed the top-K into
+    ``quantize_dit_params(skip=...)`` when a checkpoint fails the
     pipeline-level PSNR gate (docs/SERVING.md)."""
     scores = []
-    for mod, name in _BLOCK_LINEARS:
+    targets = _BLOCK_LINEARS if mode == "int8" else _BLOCK_LINEARS_INT4
+    for mod, name in targets:  # absent names skipped
         sub = params["blocks"].get(mod, {})
         if name not in sub or is_quantized(sub[name]):
             continue
@@ -126,10 +210,18 @@ def rank_projection_sensitivity(params: Params) -> list[tuple[tuple[str, str], f
     return sorted(scores, key=lambda kv: -kv[1])
 
 
-def dequantize_linear_params(p: Params) -> Params:
-    """Inverse (lossy) of :func:`quantize_linear_params` — for tests and for
-    re-export paths that need a float kernel back."""
-    k = p["kernel_q"].astype(jnp.float32) * p["kernel_scale"]
+def dequantize_linear_params(p: Params, in_dim: int | None = None) -> Params:
+    """Inverse (lossy) of :func:`quantize_linear_params` /
+    :func:`quantize_linear_params_int4` — for tests and for re-export paths
+    that need a float kernel back. ``in_dim`` trims int4 group padding when
+    the original in-dim was not a multiple of :data:`INT4_GROUP`."""
+    if "kernel_q4" in p:
+        q = _unpack_int4(p["kernel_q4"]).astype(jnp.float32)
+        k = (q * p["kernel_scale4"][:, None, :]).reshape(-1, q.shape[-1])
+        if in_dim is not None:
+            k = k[:in_dim]
+    else:
+        k = p["kernel_q"].astype(jnp.float32) * p["kernel_scale"]
     out = {"kernel": k}
     if "bias" in p:
         out["bias"] = p["bias"]

@@ -78,14 +78,34 @@ def dit_param_sharding(
         is_scale = sub.endswith("/kernel_scale")
         if is_scale:
             norm = sub[: -len("_scale")].replace("/kernel", "/bias")
+        # int4 leaves: kernel_q4 is (L, g, group//2, out) — col-split shards
+        # the out axis, row-split shards the GROUP axis (the in-dim lives on
+        # (g, group//2), and group boundaries must stay on one device so the
+        # per-group scales dequantize locally). kernel_scale4 is (L, g, out):
+        # out axis for col linears, g axis for row linears.
+        is_q4 = sub.endswith("/kernel_q4")
+        is_scale4 = sub.endswith("/kernel_scale4")
+        if is_q4:
+            norm = sub[: -len("_q4")]
+        if is_scale4:
+            norm = sub[: -len("_scale4")]
 
         if use_tensor and tp_size > 1 and in_block:
             if any(norm.endswith(k) for k in _TP_COL):
                 spec[-1] = AXIS_TENSOR
             elif any(norm.endswith(k) for k in _TP_COL_BIAS):
                 spec[-1] = AXIS_TENSOR
-            elif not is_scale and any(norm.endswith(k) for k in _TP_ROW):
-                spec[-2] = AXIS_TENSOR
+            elif any(norm.endswith(k) for k in _TP_ROW):
+                if is_q4 or is_scale4:
+                    # group axis: (L, g, gr//2, out) resp. (L, g, out). Only
+                    # shard when g divides evenly (fc2 has g=108, indivisible
+                    # by tensor=8 — left replicated there; the fsdp rule
+                    # below may still pick a different axis)
+                    gi = -3 if is_q4 else -2
+                    if shape[gi] % tp_size == 0:
+                        spec[gi] = AXIS_TENSOR
+                elif not is_scale:
+                    spec[-2] = AXIS_TENSOR
 
         if use_fsdp and fsdp_size > 1:
             # shard the largest remaining divisible axis over fsdp

@@ -147,18 +147,23 @@ class ChronoEditPipeline:
         self.mesh = mesh
         self._jit_cache: dict = {}
 
-    def quantize(self, skip: tuple = ()) -> "ChronoEditPipeline":
-        """Switch the DiT to the int8 w8a8 serving path (ops/quant.py):
-        block projections become int8 with per-channel scales, attention and
-        the conditioning/head edges stay bf16. Re-shard afterwards if a mesh
-        is attached. Returns self.
+    def quantize(self, skip: tuple = (),
+                 mode: str = "int8") -> "ChronoEditPipeline":
+        """Switch the DiT to a quantized serving path (ops/quant.py):
+        ``mode="int8"`` (w8a8, 2x MXU throughput) makes block projections
+        int8 with per-channel scales; ``mode="int4"`` (w4a16 grouped) packs
+        ALL block projections to int4 so the full 40-layer 14B model fits a
+        single 16 GB v5e chip (~8.4 GB weights). Attention and the
+        conditioning/head edges stay bf16 either way. Re-shards afterwards
+        if a mesh is attached. Returns self.
 
         ``skip``: (module, name) projections to keep bf16 — the sensitivity
-        escape hatch when a checkpoint fails the int8 PSNR gate
+        escape hatch when a checkpoint fails the pipeline PSNR gate
         (docs/SERVING.md; ops.quant.rank_projection_sensitivity)."""
         from chronoedit_tpu.ops.quant import quantize_dit_params
 
-        self.dit_params = quantize_dit_params(self.dit_params, skip=skip)
+        self.dit_params = quantize_dit_params(self.dit_params, skip=skip,
+                                              mode=mode)
         if self.mesh is not None:
             from chronoedit_tpu.parallel.sharding import shard_params
 

@@ -41,8 +41,11 @@ def parse_args():
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--mesh", type=str, default=None,
                    help="parallelism spec, e.g. 'tensor=8' or 'fsdp=4,context=2'")
-    p.add_argument("--quantize", action="store_true",
-                   help="int8 w8a8 DiT projections (serving accel, "
+    p.add_argument("--quantize", nargs="?", const="int8", default=None,
+                   choices=("int8", "int4"),
+                   help="quantize DiT projections: 'int8' (w8a8 serving "
+                        "accel; also the bare-flag default) or 'int4' "
+                        "(w4a16 — the full 14B model fits ONE v5e chip; "
                         "docs/SERVING.md)")
     p.add_argument("--cache-thresh", type=float, default=None,
                    help="adaptive block-cache refresh: refresh blocks [A,B) "
@@ -98,7 +101,7 @@ def build_pipeline(args):
                                               args, "cache_thresh", None))
 
     if args.quantize:
-        pipe.quantize()  # re-shards itself when a mesh is attached
+        pipe.quantize(mode=args.quantize)  # re-shards when a mesh is attached
 
     if mesh is not None:
         from chronoedit_tpu.parallel import shard_params

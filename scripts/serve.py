@@ -60,7 +60,8 @@ def parse_args(argv=None):
     p.add_argument("--experiment", type=str, default="chronoedit_14b_distilled")
     p.add_argument("--checkpoint-dir", type=str, default=None)
     p.add_argument("--mesh", type=str, default=None)
-    p.add_argument("--quantize", action="store_true")
+    p.add_argument("--quantize", nargs="?", const="int8", default=None,
+                   choices=("int8", "int4"))
     p.add_argument("--cache-blocks", type=str, default=None)
     p.add_argument("--cache-thresh", type=float, default=None,
                    help="adaptive block-cache refresh threshold "

@@ -50,6 +50,20 @@ def test_assemble_blockcache_serving_derivation():
     assert abs((int8 - cached) - (5.42 - 4.26) * 2 / 8) < 1e-3
 
 
+def test_assemble_int4_fullmodel_fields():
+    p = _full_partial()
+    p["e2e_int4_40"] = {"layers": 40, "quantize": "int4", "measured_s": 18.2}
+    d = bench._assemble(p)["detail"]
+    assert d["e2e_measured_s_1chip_40layer_int4"] == 18.2
+    # replicated-serving throughput: 8 independent single-chip replicas
+    assert abs(d["est_edits_per_s_v5e8_int4_replicated"] - 8 / 18.2) < 1e-3
+    # absent measurement leaves the fields None, never raises
+    del p["e2e_int4_40"]
+    d = bench._assemble(p)["detail"]
+    assert d["e2e_measured_s_1chip_40layer_int4"] is None
+    assert d["est_edits_per_s_v5e8_int4_replicated"] is None
+
+
 def test_assemble_missing_cache_leaves_field_none():
     p = _full_partial()
     del p["e2e_int8_cached"]

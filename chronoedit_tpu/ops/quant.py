@@ -121,9 +121,18 @@ def _unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
 
 def quantized_linear_int4(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """w4a16 linear: dequantize grouped int4 weights to the activation dtype
-    and run a plain (MXU bf16) matmul. Output in ``x.dtype``."""
-    q = _unpack_int4(p["kernel_q4"])                     # (g, group, out)
-    w = q.astype(x.dtype) * p["kernel_scale4"][:, None, :].astype(x.dtype)
+    and run a plain (MXU bf16) matmul. Output in ``x.dtype``.
+
+    The optimization_barrier pins the dequant to the per-layer weight slice:
+    without it, XLA rewrites ``dequant(slice(stack, i))`` inside the denoise
+    scan into ``slice(dequant(stack), i)`` and materializes the ENTIRE
+    dequantized weight stack as a temp — 18 GB at just 4 layers (measured
+    via memory_analysis), which defeats the capacity scheme the int4 path
+    exists for."""
+    packed, scale = jax.lax.optimization_barrier(
+        (p["kernel_q4"], p["kernel_scale4"]))
+    q = _unpack_int4(packed)                             # (g, group, out)
+    w = q.astype(x.dtype) * scale[:, None, :].astype(x.dtype)
     g, group, dout = w.shape
     w = w.reshape(g * group, dout)
     din = x.shape[-1]

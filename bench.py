@@ -1,7 +1,16 @@
 """Benchmark: ChronoEdit-14B edit-mode hot path on real TPU hardware.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+Prints ONE SHORT JSON line (hard-capped well under the driver's tail
+capture — BENCH_r02/r03 both lost their scoreboard because the line
+outgrew it):
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "headline": {...~15 key numbers...}, "detail_file": "BENCH_DETAIL.json"}
+
+The FULL measurement detail is written to ``BENCH_DETAIL.json`` next to
+this file (tracked in git; committed after bench runs — the driver's
+end-of-round snapshot commit picks up changes from its own run).
+``tests/test_bench_assemble.py`` asserts the printed line stays < 1500
+bytes for a fully-populated measurement state.
 
 Metric: estimated end-to-end seconds per 720p edit with the 8-step distilled
 LoRA on a v5e-8, derived from single-chip measurements (the harness exposes
@@ -33,10 +42,16 @@ limit with no JSON emitted):
   default 2100 s — the driver's kill appears to be ~2700 s, r2 memory);
   AOT-walk subprocesses get ``min(cap, remaining)`` timeouts and are
   skipped outright when the budget is nearly spent;
-- feasibility/collective results persist to ``bench_cache.json`` (committed)
-  — the expensive uncachable compiles are the *failed* (HBM-infeasible)
-  ones, which the XLA persistent cache cannot help with; repeat runs skip
-  them entirely;
+- feasibility/collective results persist to ``bench_cache.json`` — the
+  expensive uncachable compiles are the *failed* (HBM-infeasible) ones,
+  which the XLA persistent cache cannot help with; repeat runs skip them
+  entirely. CACHE POLICY (VERDICT r3 #8): the file is TRACKED and
+  committed after every bench run, including learnings from the driver's
+  end-of-round run (its snapshot commit picks them up) — builder and
+  driver share one view of what is known. Single-chip e2e feasibility
+  entries additionally store a hash of the quant/DiT source files and are
+  ignored when the code changes, so a fixed path is re-measured instead of
+  being skipped forever (VERDICT r3 weak #3);
 - a SIGALRM fires ``budget + 180 s`` in as a last resort and emits the best
   line assemblable from whatever has been measured (``partial: true``);
 - after printing, the process hard-exits (os._exit) so straggler compile
@@ -102,12 +117,51 @@ def _remaining() -> float:
     return BUDGET_S - (time.monotonic() - _T0)
 
 
+# headline detail fields promoted into the printed line (everything else
+# lives only in BENCH_DETAIL.json). Keep this list short: the test caps the
+# printed line at 1500 bytes.
+_HEADLINE_FIELDS = (
+    "e2e_measured_s_1chip_40layer_int4",
+    "e2e_measured_s_1chip_int8",
+    "e2e_measured_int8_layers",
+    "e2e_measured_s_1chip_int8_blockcache",
+    "est_sec_per_edit_int8_serving",
+    "est_sec_per_edit_int8_blockcache_serving",
+    "est_sec_per_edit_50step_reasoning_int8",
+    "e2e_measured_s_1chip_reasoning",
+    "dit_block_s_1chip_b1",
+    "dit_block_s_1chip_b1_int8",
+    "vae_encode_s",
+    "vae_decode_s",
+    "edit_mesh",
+    "extrapolation_error",
+    "elapsed_s",
+)
+
+
+def _shorten(full: dict) -> dict:
+    """The printed line: scoreboard fields + a small headline dict. The full
+    ``detail`` goes to BENCH_DETAIL.json (see :func:`_emit`)."""
+    detail = full.get("detail", {})
+    line = {k: full.get(k) for k in ("metric", "value", "unit", "vs_baseline")}
+    line["headline"] = {k: detail[k] for k in _HEADLINE_FIELDS if k in detail}
+    if full.get("partial") or detail.get("partial"):
+        line["partial"] = True
+    line["detail_file"] = "BENCH_DETAIL.json"
+    return line
+
+
 def _emit(obj: dict) -> None:
     global _PRINTED
     if _PRINTED:
         return
     _PRINTED = True
-    print(json.dumps(obj), flush=True)
+    try:
+        with open(os.path.join(_HERE, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(obj, f, indent=1, sort_keys=True)
+    except Exception as e:  # pragma: no cover - detail is best-effort
+        print(f"[bench] detail save failed: {e}", file=sys.stderr)
+    print(json.dumps(_shorten(obj)), flush=True)
 
 
 # ------------------------------------------------------------------ cache
@@ -125,6 +179,35 @@ def _load_cache() -> dict:
 
 _CACHE = _load_cache()
 _CACHE_DIRTY = False
+
+
+def _code_hash() -> str:
+    """Hash of the sources that determine single-chip e2e feasibility.
+    Feasibility cache entries (int4_e2e_40, int8_e2e_depth) are only honored
+    when this matches — a fix to the quant/DiT path forces a re-probe
+    instead of being skipped forever (VERDICT r3 weak #3)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for rel in ("chronoedit_tpu/ops/quant.py", "chronoedit_tpu/models/dit.py",
+                "chronoedit_tpu/pipeline/edit_pipeline.py"):
+        try:
+            with open(os.path.join(_HERE, rel), "rb") as f:
+                h.update(f.read())
+        except OSError:
+            h.update(rel.encode())
+    return h.hexdigest()[:16]
+
+
+_CODE_HASH = _code_hash()
+
+
+def _feasibility_entry(key: str) -> dict:
+    """Cached e2e feasibility entry, empty if the quant/DiT code changed."""
+    hist = dict(_CACHE.get(key, {}))
+    if hist.get("code") != _CODE_HASH:
+        return {"code": _CODE_HASH}
+    return hist
 
 
 def _save_cache() -> None:
@@ -165,13 +248,14 @@ def _readback_overhead() -> float:
 
 
 def bench_dit_block_ms(batch: int, frames: int = 2, iters: int = 5,
-                       quantize: bool = False) -> dict:
+                       quantize=False) -> dict:
     """Per-block DiT latency at 720p shapes.
 
     batch=1 is the 8-step distilled path (guidance 1.0 -> single forward);
     batch=2 is the CFG-batched base-model path. frames=2 is edit mode,
     frames=8 the temporal-reasoning sequence (28.8k tokens).
-    quantize=True measures the int8 w8a8 serving path (ops/quant.py).
+    quantize=True/"int8" measures the int8 w8a8 serving path, "int4" the
+    w4a16 capacity path (ops/quant.py).
     NOTE: random data, not zeros — the runtime fast-paths all-zero buffers
     and timings collapse to dispatch overhead.
     """
@@ -195,7 +279,8 @@ def bench_dit_block_ms(batch: int, frames: int = 2, iters: int = 5,
         if quantize:
             from chronoedit_tpu.ops.quant import quantize_dit_params
 
-            params = jax.jit(quantize_dit_params)(params)
+            mode = quantize if isinstance(quantize, str) else "int8"
+            params = jax.jit(lambda p: quantize_dit_params(p, mode=mode))(params)
 
         def fwd(p, *a, _cfg=cfg):
             return jnp.sum(dit_lib.dit_forward(p, _cfg, *a).astype(jnp.float32))
@@ -374,7 +459,7 @@ def bench_e2e_int8_deepest() -> dict | None:
     # compile workspace at 720p (~2.5 GB measured headroom needed)
     global _CACHE_DIRTY
     weight_budget = 13.2e9
-    hist = dict(_CACHE.get("int8_e2e_depth", {}))
+    hist = _feasibility_entry("int8_e2e_depth")
     infeasible = set(hist.get("infeasible", []))
     for layers in range(40, 7, -4):
         if quantized_dit_bytes(layers) > weight_budget or layers in infeasible:
@@ -416,9 +501,10 @@ def bench_e2e_int4_full() -> dict | None:
     Quality is gated by tests/test_quant.py::test_int4_pipeline_psnr_gate.
     Feasibility result persists to bench_cache.json like the int8 probe."""
     global _CACHE_DIRTY
-    hist = dict(_CACHE.get("int4_e2e_40", {}))
+    hist = _feasibility_entry("int4_e2e_40")
     if hist.get("infeasible"):
-        print("[bench] cached: int4 40-layer e2e infeasible", file=sys.stderr)
+        print("[bench] cached: int4 40-layer e2e infeasible at this code "
+              "version", file=sys.stderr)
         return None
     try:
         return bench_e2e_pipeline_s(layers=40, quantize="int4")
@@ -427,7 +513,8 @@ def bench_e2e_int4_full() -> dict | None:
         print(f"[bench] int4 40-layer e2e failed ({'OOM-ish' if oomish else type(e).__name__}): "
               f"{str(e)[:300]}", file=sys.stderr)
         if oomish:
-            _CACHE["int4_e2e_40"] = {"infeasible": True}
+            hist["infeasible"] = True
+            _CACHE["int4_e2e_40"] = hist
             _CACHE_DIRTY = True
         return None
 
@@ -564,6 +651,7 @@ def _assemble(partial: dict) -> dict:
         return steps * (step_compute + comm_s) + vae_8chip
 
     dit1_q = partial.get("dit1_q")
+    dit1_q4 = partial.get("dit1_q4")
     dit2 = partial.get("dit2")
     dit_r = partial.get("dit_r")
     dit_r_q = partial.get("dit_r_q")
@@ -571,6 +659,21 @@ def _assemble(partial: dict) -> dict:
     e2e_int8 = partial.get("e2e_int8")
     e2e_int8_c = partial.get("e2e_int8_cached")
     e2e_int4 = partial.get("e2e_int4_40")
+    e2e_int4_8 = partial.get("e2e_int4_8")
+
+    # VERDICT r3 #3: calibrate the depth-extrapolation model. Predict the
+    # full-depth int4 e2e exactly the way the bf16 40-layer estimate is
+    # produced (shallow e2e + per-block time x added layers), then compare
+    # with the measurement. measured/predicted near 1.0 validates every
+    # remaining extrapolated field; the ratio is reported either way.
+    extrap_err = None
+    e2e_int4_pred = None
+    if e2e_int4_8 is not None and dit1_q4 is not None:
+        e2e_int4_pred = (e2e_int4_8["measured_s"]
+                         + DENOISE_STEPS * (40 - e2e_int4_8["layers"])
+                         * dit1_q4["per_block_s"])
+        if e2e_int4 is not None:
+            extrap_err = e2e_int4["measured_s"] / e2e_int4_pred
 
     total = estimate(dit1, DENOISE_STEPS, comm_edit)
     total_int8 = estimate(dit1_q, DENOISE_STEPS, comm_int8)
@@ -643,6 +746,15 @@ def _assemble(partial: dict) -> dict:
             e2e_int4 and e2e_int4["measured_s"], 3),
         "est_edits_per_s_v5e8_int4_replicated": r(
             e2e_int4 and N_CHIPS_TARGET / e2e_int4["measured_s"], 3),
+        # extrapolation-model calibration (VERDICT r3 #3): full-depth int4
+        # prediction from the shallow int4 e2e + per-block scaling, and the
+        # measured/predicted ratio (1.0 = the scaling model is exact)
+        "e2e_measured_s_1chip_int4_shallow": r(
+            e2e_int4_8 and e2e_int4_8["measured_s"], 3),
+        "e2e_int4_shallow_layers": e2e_int4_8 and e2e_int4_8["layers"],
+        "dit_block_s_1chip_b1_int4": r(dit1_q4 and dit1_q4["per_block_s"], 5),
+        "e2e_predicted_s_1chip_40layer_int4": r(e2e_int4_pred, 3),
+        "extrapolation_error": r(extrap_err, 3),
         # Δ-DiT block cache engaged (middle 60% of blocks, period 2) at the
         # same depth — measured speedup for SERVING.md lever #4
         "e2e_measured_s_1chip_int8_blockcache": r(
@@ -790,6 +902,16 @@ def main():
     # throughput recipe (replicate per chip, 8 independent requests/v5e-8)
     PARTIAL["e2e_int4_40"] = stage("e2e_int4_40", bench_e2e_int4_full,
                                    min_remaining=480)
+    _release_device_memory()
+    # extrapolation-model calibration inputs (VERDICT r3 #3): a shallow int4
+    # e2e + the int4 per-block time let _assemble predict the 40-layer run
+    # the way every extrapolated field is produced, and report the ratio
+    PARTIAL["dit1_q4"] = stage("dit1_q4", bench_dit_block_ms, batch=1,
+                               quantize="int4", min_remaining=360)
+    if PARTIAL.get("e2e_int4_40"):
+        PARTIAL["e2e_int4_8"] = stage(
+            "e2e_int4_8", bench_e2e_pipeline_s, layers=8, quantize="int4",
+            min_remaining=360)
     _release_device_memory()
     PARTIAL["e2e"] = stage("e2e", bench_e2e_pipeline_s, min_remaining=240)
     PARTIAL["dit2"] = stage("dit2", bench_dit_block_ms, batch=2,

@@ -70,3 +70,73 @@ def test_assemble_missing_cache_leaves_field_none():
     d = bench._assemble(p)["detail"]
     assert d["est_sec_per_edit_int8_blockcache_serving"] is None
     assert d["e2e_measured_s_1chip_int8"] == 5.42
+
+
+def _maximal_partial():
+    """Every field populated — the worst case for the printed line size."""
+    p = _full_partial()
+    p.update({
+        "dit2": {"per_block_s": 0.077, "overhead_s": 0.01, "readback_s": 0.0},
+        "dit_r": {"per_block_s": 0.518, "overhead_s": 0.9, "readback_s": 0.0},
+        "dit_r_q": {"per_block_s": 0.446, "overhead_s": 0.9, "readback_s": 0.0},
+        "dit1_q4": {"per_block_s": 0.031, "overhead_s": 0.01, "readback_s": 0.0},
+        "e2e": {"layers": 8, "quantize": False, "measured_s": 3.383},
+        "e2e_int4_40": {"layers": 40, "quantize": "int4", "measured_s": 11.2},
+        "e2e_int4_8": {"layers": 8, "quantize": "int4", "measured_s": 3.1},
+        "e2e_reason": {"layers": 20, "quantize": True, "measured_s": 71.0,
+                       "steps": 8, "cache_blocks": [4, 16], "cache_period": 2},
+        "reason_mesh": "tensor=4,context=2",
+        "edit_cands": {"tensor=8": 0.1721, "tensor=4,context=2": 0.1004,
+                       "tensor=2,context=4": 0.0577},
+        "reason_cands": {"tensor=8": 1.3768, "tensor=4,context=2": 0.8031},
+        "feasibility": {"tensor=8": {}, "tensor=4,context=2": {"bf16": True},
+                        "tensor=2,context=4": {"bf16": False, "int8": True}},
+        "comm": {("edit", "tensor=4,context=2"):
+                 {"collective_bytes": 5900091040, "backend": "tpu-aot",
+                  "per_op": {}},
+                 ("reason", "tensor=4,context=2"):
+                 {"collective_bytes": 47199990080, "backend": "tpu-aot",
+                  "per_op": {}},
+                 ("vae", "tensor=8"):
+                 {"collective_bytes": 164905384, "backend": "tpu-aot",
+                  "per_op": {}}},
+        "hlo_int8": {"collective_bytes": 3726324640, "per_op": {}},
+    })
+    return p
+
+
+def test_printed_line_stays_under_driver_capture():
+    """BENCH_r02/r03 both lost the scoreboard because the one-line JSON
+    outgrew the driver's tail capture. The printed line must stay short for
+    ANY measurement state — the full detail goes to BENCH_DETAIL.json."""
+    import json
+
+    for p in ({}, _full_partial(), _maximal_partial()):
+        line = json.dumps(bench._shorten(bench._assemble(p)))
+        assert len(line) < 1500, f"printed line {len(line)}B for state {p.keys()}"
+
+
+def test_shorten_keeps_scoreboard_fields():
+    out = bench._assemble(_maximal_partial())
+    line = bench._shorten(out)
+    assert line["value"] == out["value"] and line["value"] is not None
+    assert line["vs_baseline"] == out["vs_baseline"]
+    assert line["unit"] == "s"
+    assert line["detail_file"] == "BENCH_DETAIL.json"
+    assert line["headline"]["e2e_measured_s_1chip_40layer_int4"] == 11.2
+    # partial flag propagates
+    short_empty = bench._shorten(bench._assemble({}))
+    assert short_empty["partial"] is True
+
+
+def test_assemble_extrapolation_calibration():
+    p = _maximal_partial()
+    d = bench._assemble(p)["detail"]
+    pred = 3.1 + 8 * 32 * 0.031
+    assert abs(d["e2e_predicted_s_1chip_40layer_int4"] - pred) < 1e-3
+    assert abs(d["extrapolation_error"] - 11.2 / pred) < 1e-3
+    # missing measurement -> ratio None, prediction still reported
+    del p["e2e_int4_40"]
+    d = bench._assemble(p)["detail"]
+    assert d["extrapolation_error"] is None
+    assert d["e2e_predicted_s_1chip_40layer_int4"] is not None

@@ -132,7 +132,11 @@ def quantized_linear_int4(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     packed, scale = jax.lax.optimization_barrier(
         (p["kernel_q4"], p["kernel_scale4"]))
     q = _unpack_int4(packed)                             # (g, group, out)
-    w = q.astype(x.dtype) * scale[:, None, :].astype(x.dtype)
+    # scale multiply in fp32 (advisor r3): casting the fp32 scales to bf16
+    # first would stack bf16 rounding on top of the int4 quantization error.
+    # XLA fuses the whole dequant chain into the matmul's operand producer,
+    # so the fp32 intermediate never materializes in HBM.
+    w = (q.astype(jnp.float32) * scale[:, None, :]).astype(x.dtype)
     g, group, dout = w.shape
     w = w.reshape(g * group, dout)
     din = x.shape[-1]
@@ -222,13 +226,21 @@ def rank_projection_sensitivity(
 def dequantize_linear_params(p: Params, in_dim: int | None = None) -> Params:
     """Inverse (lossy) of :func:`quantize_linear_params` /
     :func:`quantize_linear_params_int4` — for tests and for re-export paths
-    that need a float kernel back. ``in_dim`` trims int4 group padding when
-    the original in-dim was not a multiple of :data:`INT4_GROUP`."""
+    that need a float kernel back. ``in_dim`` trims int4 group padding and is
+    REQUIRED for int4 leaves (advisor r3): the packed layout does not record
+    the original in-dim, and silently returning a group-padded kernel would
+    hand re-export callers a wrong-shaped float kernel with no error."""
     if "kernel_q4" in p:
+        if in_dim is None:
+            raise ValueError(
+                "dequantize_linear_params: in_dim is required for int4 "
+                "(kernel_q4) leaves — the packed layout pads the in-dim to a "
+                f"multiple of the quantization group and cannot recover the "
+                f"original size (padded in-dim here: "
+                f"{p['kernel_q4'].shape[0] * p['kernel_q4'].shape[1] * 2})")
         q = _unpack_int4(p["kernel_q4"]).astype(jnp.float32)
         k = (q * p["kernel_scale4"][:, None, :]).reshape(-1, q.shape[-1])
-        if in_dim is not None:
-            k = k[:in_dim]
+        k = k[:in_dim]
     else:
         k = p["kernel_q"].astype(jnp.float32) * p["kernel_scale"]
     out = {"kernel": k}

@@ -116,6 +116,13 @@ def dit_param_sharding(
                     # slices it every step, sharding it would reshard per layer
                     if in_block and i == 0 and len(shape) > 1:
                         continue
+                    # avoid kernel_q4's intra-group axis (-2): group
+                    # boundaries must stay on one device so the per-group
+                    # scales dequantize locally (advisor r3 — at 14B col-split
+                    # shapes group//2=64 outranks g=40 and would force
+                    # per-layer weight gathers inside the denoise scan)
+                    if is_q4 and i == len(shape) - 2:
+                        continue
                     spec[i] = AXIS_FSDP
                     break
         return NamedSharding(mesh, P(*spec))

@@ -201,14 +201,27 @@ def test_quantized_params_shard_and_run_on_mesh():
     mesh = make_mesh(MeshConfig(data=1, fsdp=2, tensor=2, context=2))
     params = quantize_dit_params(
         dit_lib.init_dit_params(jax.random.PRNGKey(0), cfg))
-    params = shard_params(params, mesh, dit_param_sharding(mesh))
+    sharded = shard_params(params, mesh, dit_param_sharding(mesh))
 
     # TP layout: col-split int8 kernels + their scales split the out axis
-    q = params["blocks"]["self_attn"]["q"]
+    q = sharded["blocks"]["self_attn"]["q"]
     assert "tensor" in str(q["kernel_q"].sharding.spec)
     assert "tensor" in str(q["kernel_scale"].sharding.spec)
-    fc2 = params["blocks"]["ffn"]["fc2"]
+    fc2 = sharded["blocks"]["ffn"]["fc2"]
     assert str(fc2["kernel_scale"].sharding.spec).count("tensor") == 0
+
+    # and the SHARDED int8 params actually run on the mesh (advisor r3: this
+    # coverage was absorbed into the int4 test against unsharded params —
+    # an int8 sharded-execution regression would have passed CI)
+    x = jnp.ones((2, cfg.in_channels, 2, 8, 8), jnp.float32)
+    ts = jnp.full((2,), 500.0, jnp.float32)
+    text = jnp.zeros((2, 6, cfg.text_dim), jnp.float32)
+    img = jnp.zeros((2, cfg.image_tokens, cfg.image_dim), jnp.float32)
+    with mesh:
+        out = jax.jit(
+            lambda p: dit_lib.dit_forward(p, cfg, x, ts, text, img,
+                                          mesh=mesh))(sharded)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
 
 
 def test_int4_params_shard_and_run_on_mesh():
@@ -249,6 +262,8 @@ def test_int4_params_shard_and_run_on_mesh():
                                           mesh=mesh))(sharded), np.float32)
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
+    # batch-2 on the SHARDED int4 params (advisor r3: the previous tail ran
+    # the unsharded tree, exercising neither path meaningfully)
     x = jnp.ones((2, cfg.in_channels, 2, 8, 8), jnp.float32)
     ts = jnp.full((2,), 500.0, jnp.float32)
     text = jnp.zeros((2, 6, cfg.text_dim), jnp.float32)
@@ -256,7 +271,7 @@ def test_int4_params_shard_and_run_on_mesh():
     with mesh:
         out = jax.jit(
             lambda p: dit_lib.dit_forward(p, cfg, x, ts, text, img,
-                                          mesh=mesh))(params)
+                                          mesh=mesh))(sharded)
     assert np.isfinite(np.asarray(out, np.float32)).all()
 
 

@@ -122,48 +122,120 @@ def _read_word_list(path: str) -> tuple[str, ...]:
     if not os.path.exists(path):
         return ()
     with open(path) as f:
-        return tuple(w.strip().lower() for w in f if w.strip())
+        return tuple(w.strip().lower() for w in f
+                     if w.strip() and not w.lstrip().startswith("#"))
 
 
 _DEFAULT_EXACT = _read_word_list(
     os.path.join(_BUNDLED_BLOCKLIST_DIR, "exact.txt")) or ("csam",)
 _DEFAULT_PARTIAL = _read_word_list(
     os.path.join(_BUNDLED_BLOCKLIST_DIR, "partial.txt")) or ("child sexual",)
+_DEFAULT_WHITELIST = _read_word_list(
+    os.path.join(_BUNDLED_BLOCKLIST_DIR, "whitelist.txt"))
+
+# naive lemmatizer: suffix-strip candidates tried against the exact tier so
+# plural/inflected forms of a blocked token still match ("beheadings" ->
+# "beheading"). The reference uses nltk's WordNetLemmatizer for the same
+# purpose (blocklist.py:52,180-184); suffix stripping covers the regular
+# inflections without the nltk data download.
+_SUFFIXES = ("ings", "ing", "ers", "er", "ies", "es", "s", "ed")
+
+
+def _lemma_candidates(token: str) -> tuple[str, ...]:
+    out = [token]
+    for suf in _SUFFIXES:
+        if token.endswith(suf) and len(token) - len(suf) >= 3:
+            stem = token[: -len(suf)]
+            out.append(stem)
+            if suf in ("ies",):
+                out.append(stem + "y")
+            if suf in ("ing", "ings", "ed", "er", "ers"):
+                out.append(stem + "e")  # rape -> raping/raped/raper
+    return tuple(dict.fromkeys(out))
 
 
 @dataclasses.dataclass
 class Blocklist:
-    """Word-list text filter (exact tokens + partial substrings), applied to
-    a normalized (lowercase, de-leet-speaked) prompt."""
+    """Tiered word-list text filter applied to a normalized (lowercase,
+    de-leet-speaked) prompt. Tier semantics mirror the reference blocklist
+    (blocklist/blocklist.py:76-202) without its nltk/better_profanity deps:
+
+    - **exact tier**: single tokens, whole-word match only (``grape`` can
+      never fire ``rape``); inflected forms match via suffix-stripping
+      lemma candidates.
+    - **partial tier**: phrases, substring match against the normalized
+      prompt; entries >= ``fuzzy_min_chars`` additionally fuzzy-match word
+      windows of the prompt with up to ``fuzzy_letter_count`` characters of
+      edit tolerance (SequenceMatcher, reference check_partial_match
+      blocklist.py:94-127) so one-letter obfuscations still block.
+    - **whitelist**: phrases removed from the prompt before matching, so
+      legitimate text a fuzzy/leet rule would clip is never blocked
+      (reference uncensor_whitelist blocklist.py:65-74).
+    """
 
     exact_words: tuple[str, ...] = _DEFAULT_EXACT
     partial_phrases: tuple[str, ...] = _DEFAULT_PARTIAL
+    whitelist: tuple[str, ...] = _DEFAULT_WHITELIST
+    fuzzy_min_chars: int = 6
+    fuzzy_letter_count: float = 1.0
 
     @classmethod
     def from_dir(cls, path: str) -> "Blocklist":
-        """Load ``exact.txt`` / ``partial.txt`` word-list files (one entry
-        per line) from a directory."""
+        """Load ``exact.txt`` / ``partial.txt`` / ``whitelist.txt`` word-list
+        files (one entry per line, '#' comments) from a directory."""
 
         return cls(
             exact_words=_read_word_list(os.path.join(path, "exact.txt"))
             or _DEFAULT_EXACT,
             partial_phrases=_read_word_list(os.path.join(path, "partial.txt"))
-            or _DEFAULT_PARTIAL)
+            or _DEFAULT_PARTIAL,
+            whitelist=_read_word_list(os.path.join(path, "whitelist.txt"))
+            or _DEFAULT_WHITELIST)
 
     @staticmethod
     def normalize(prompt: str) -> str:
         p = prompt.lower().translate(_LEET)
         return re.sub(r"\s+", " ", p).strip()
 
+    def _strip_whitelist(self, norm: str) -> str:
+        for phrase in self.whitelist:
+            if " " in phrase:
+                norm = norm.replace(phrase, " ")
+            else:
+                norm = re.sub(rf"\b{re.escape(phrase)}\b", " ", norm)
+        return re.sub(r"\s+", " ", norm).strip()
+
+    def _fuzzy_match(self, words: list[str], phrase: str) -> bool:
+        """Reference check_partial_match semantics: slide a window of
+        len(phrase.split()) words over the prompt and accept when the
+        SequenceMatcher ratio clears (len - letter_count) / len."""
+        import difflib
+
+        n = len(phrase.split())
+        if n > len(words):
+            return False
+        thresh = (len(phrase) - self.fuzzy_letter_count) / len(phrase)
+        sm = difflib.SequenceMatcher(b=phrase)
+        for i in range(len(words) - n + 1):
+            sm.set_seq1(" ".join(words[i:i + n]))
+            if sm.ratio() >= thresh:
+                return True
+        return False
+
     def __call__(self, prompt: str) -> tuple[bool, str]:
-        norm = self.normalize(prompt)
-        tokens = set(re.findall(r"[a-z']+", norm))
-        for w in self.exact_words:
-            if w in tokens:
-                return False, f"blocked word {w!r}"
+        norm = self._strip_whitelist(self.normalize(prompt))
+        tokens = re.findall(r"[a-z']+", norm)
+        lemmas = {c for t in tokens for c in _lemma_candidates(t)}
+        exact = set(self.exact_words)
+        hit = lemmas & exact
+        if hit:
+            return False, f"blocked word {sorted(hit)[0]!r}"
         for phrase in self.partial_phrases:
             if phrase in norm:
                 return False, f"blocked phrase {phrase!r}"
+            if (len(phrase) >= self.fuzzy_min_chars
+                    and self._fuzzy_match(tokens, phrase)):
+                return False, f"blocked phrase (fuzzy) {phrase!r}"
         return True, ""
 
 

@@ -392,3 +392,55 @@ def test_bundled_blocklist_blocks_out_of_the_box():
     # leet normalization feeds exact matching
     ok, _ = bl("r4pe scene")
     assert not ok
+
+
+def test_blocklist_tier_semantics():
+    """round-4 (VERDICT r3 #7): the exact and partial tiers must behave
+    differently — exact is whole-token only, partial is substring+fuzzy."""
+    bl = Blocklist(exact_words=("rape",), partial_phrases=("gang rape",),
+                   whitelist=("grape", "grapes", "therapist"))
+    # exact tier: whole token blocks...
+    assert not bl("a rape scene")[0]
+    # ...but a containing word does NOT ("grape" must never fire "rape")
+    assert bl("a bowl of grapes on the table")[0]
+    assert bl("she visits her therapist weekly")[0]
+    # partial tier: substring match inside longer text
+    assert not bl("depicting gang rape in detail")[0]
+    # lemma candidates: inflected forms of an exact token still block
+    assert not bl("rapes")[0]
+    assert not bl("raping them")[0]
+
+
+def test_blocklist_fuzzy_and_whitelist():
+    bl = Blocklist(exact_words=(), partial_phrases=("mass shooting",),
+                   whitelist=("suicide prevention",))
+    # one-letter obfuscation still blocks via the fuzzy tier
+    ok, reason = bl("a mas shooting scene")
+    assert not ok and "fuzzy" in reason
+    # clean text passes
+    assert bl("a massive crowd cheering")[0]
+    # whitelisted phrase is stripped before matching
+    bl2 = Blocklist(exact_words=("suicide",), partial_phrases=(),
+                    whitelist=("suicide prevention",))
+    assert bl2("a suicide prevention awareness poster")[0]
+    assert not bl2("a suicide scene")[0]
+
+
+def test_bundled_blocklist_reference_scale():
+    """round-4: bundled lists reach reference-scale coverage (>=200 entries
+    across tiers, VERDICT r3 #7) and load with comments stripped."""
+    bl = Blocklist()
+    total = len(bl.exact_words) + len(bl.partial_phrases)
+    assert total >= 200, f"only {total} bundled entries"
+    assert len(bl.whitelist) >= 10
+    assert not any(w.startswith("#") for w in
+                   bl.exact_words + bl.partial_phrases + bl.whitelist)
+    # spot checks per category
+    assert not bl("how to make a bomb tutorial")[0]
+    assert not bl("a beheading video")[0]
+    assert not bl("deepfake porn of an actress")[0]
+    assert not bl("thinspo poster")[0]
+    # benign prompts with near-miss vocabulary pass
+    assert bl("a skyscraper at sunset, rapid clouds")[0]
+    assert bl("add drapes to the window and grapes to the bowl")[0]
+    assert bl("a classical mass in a cathedral")[0]

@@ -76,11 +76,24 @@ def is_quantized(p: Params) -> bool:
 # one. The full int8 (w8a8) model is ~20.5 GB and cannot fit one 16 GB v5e
 # chip; int4 weights put the 40-layer 14B DiT at ~8.4 GB, so the whole model
 # serves on a SINGLE chip. Compute stays bf16 (weights are dequantized on the
-# fly; the dequant is elementwise work XLA fuses ahead of the matmul, and at
-# 7.2k-token serving shapes the projections are MXU-compute-bound, so the
-# extra weight pass costs ~10%). Quality is held by per-(group=128, out
-# channel) scales — max elementwise error scale/2 = absmax_group/14 — gated
-# by the same pipeline-level PSNR test as int8 (tests/test_quant.py).
+# fly — in-VMEM by the Pallas fused kernel on TPU (ops/int4_matmul.py), or
+# as XLA-fused elementwise work ahead of the matmul elsewhere). Quality is
+# held by per-(group=128, out channel) scales — max elementwise error
+# scale/2 = absmax_group/14 — gated by the same pipeline-level PSNR test as
+# int8 (tests/test_quant.py).
+#
+# Packing layout (round 4 — the layout IS the OOM fix): ``kernel_q4`` is
+# (in_pad/2, out) int8 where the LOW nibble of row i holds original row i
+# and the HIGH nibble holds row i + in_pad/2 ("global split-half"). The r3
+# interleaved 3D layout (g, group//2, out) forced XLA to relayout EVERY
+# packed weight stack into a transposed tiling inside the jitted pipeline
+# (copy.* HLO temps totalling ~7 GB at 40 layers — the actual cause of the
+# driver-observed RESOURCE_EXHAUSTED, tools/diag_int4_oom.py). Split-half
+# dequant is two shifts + two half matmuls: no interleaving reshape of the
+# packed argument, so the argument layout survives and the weights are
+# never duplicated. ``in_pad`` rounds the in-dim up to an EVEN number of
+# groups so the half split lands on a group boundary and each half's scale
+# rows are a contiguous slice of ``kernel_scale4`` (g, out).
 
 INT4_GROUP = 128
 
@@ -89,19 +102,21 @@ def quantize_linear_params_int4(p: Params, group: int = INT4_GROUP) -> Params:
     """{"kernel": (in, out) float, "bias"?} -> packed int4 kernel with
     per-(group, out-channel) scales.
 
-    Layout: ``kernel_q4`` is (g, group//2, out) int8 — two nibbles per byte
-    along the in-dim, low nibble = even index — and ``kernel_scale4`` is
-    (g, out) float32 where g = ceil(in / group). The in-dim is zero-padded to
-    a group multiple (zero rows quantize to 0 and contribute nothing)."""
+    ``kernel_q4``: (in_pad/2, out) int8, low nibble = row i, high nibble =
+    row i + in_pad/2. ``kernel_scale4``: (g, out) float32, g = in_pad/group
+    (always even). Zero-padded rows quantize to 0 and contribute nothing."""
     k = p["kernel"].astype(jnp.float32)
     din, dout = k.shape
     g = -(-din // group)
+    g += g % 2  # even group count: the half split must land on a group edge
     if g * group != din:
         k = jnp.pad(k, ((0, g * group - din), (0, 0)))
     kg = k.reshape(g, group, dout)
     scale = jnp.maximum(jnp.max(jnp.abs(kg), axis=1), _EPS) / 7.0  # (g, out)
-    q = jnp.clip(jnp.round(kg / scale[:, None, :]), -7, 7).astype(jnp.int8)
-    lo, hi = q[:, 0::2], q[:, 1::2]
+    q = jnp.clip(jnp.round(kg / scale[:, None, :]), -7, 7)
+    q = q.astype(jnp.int8).reshape(g * group, dout)
+    half = g * group // 2
+    lo, hi = q[:half], q[half:]
     packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0x0F),
                             jnp.left_shift(hi, 4)).astype(jnp.int8)
     out = {"kernel_q4": packed, "kernel_scale4": scale}
@@ -110,39 +125,53 @@ def quantize_linear_params_int4(p: Params, group: int = INT4_GROUP) -> Params:
     return out
 
 
-def _unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
-    """(g, group//2, out) packed int8 -> (g, group, out) int8 in [-7, 7].
+def _unpack_int4(packed: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(in_pad/2, out) packed int8 -> (lo, hi) halves, each (in_pad/2, out)
+    int8 in [-7, 7]: lo = original rows [0, in_pad/2), hi = the rest.
     Arithmetic shifts on int8 sign-extend the nibbles."""
     lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
     hi = jnp.right_shift(packed, 4)
-    g, half, dout = packed.shape
-    return jnp.stack([lo, hi], axis=2).reshape(g, half * 2, dout)
+    return lo, hi
 
 
 def quantized_linear_int4(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """w4a16 linear: dequantize grouped int4 weights to the activation dtype
-    and run a plain (MXU bf16) matmul. Output in ``x.dtype``.
+    and matmul on the MXU. Output in ``x.dtype``.
 
-    The optimization_barrier pins the dequant to the per-layer weight slice:
-    without it, XLA rewrites ``dequant(slice(stack, i))`` inside the denoise
-    scan into ``slice(dequant(stack), i)`` and materializes the ENTIRE
-    dequantized weight stack as a temp — 18 GB at just 4 layers (measured
-    via memory_analysis), which defeats the capacity scheme the int4 path
-    exists for."""
-    packed, scale = jax.lax.optimization_barrier(
-        (p["kernel_q4"], p["kernel_scale4"]))
-    q = _unpack_int4(packed)                             # (g, group, out)
-    # scale multiply in fp32 (advisor r3): casting the fp32 scales to bf16
-    # first would stack bf16 rounding on top of the int4 quantization error.
-    # XLA fuses the whole dequant chain into the matmul's operand producer,
-    # so the fp32 intermediate never materializes in HBM.
-    w = (q.astype(jnp.float32) * scale[:, None, :]).astype(x.dtype)
-    g, group, dout = w.shape
-    w = w.reshape(g * group, dout)
+    On TPU the fused Pallas kernel (ops/int4_matmul.py) unpacks + scales the
+    weight tile in VMEM right before the MXU dot, so the bf16 weights never
+    exist in HBM at all. The XLA fallback (CPU tests, odd shapes) computes
+    ``x_lo @ dq(lo) + x_hi @ dq(hi)`` — elementwise unpack + two half
+    matmuls XLA fuses; the optimization_barrier pins the dequant to the
+    per-layer weight slice so the scan does not hoist a whole-stack dequant
+    (r2 lesson: 18 GB of temps at just 4 layers without it)."""
+    from chronoedit_tpu.ops.int4_matmul import (
+        int4_matmul_supported, int4_matmul)
+
     din = x.shape[-1]
-    if g * group != din:  # in-dim was padded to a group multiple
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, g * group - din)])
-    y = x @ w
+    half, dout = p["kernel_q4"].shape
+    if 2 * half != din:  # in-dim was padded to an even group multiple
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, 2 * half - din)])
+
+    if int4_matmul_supported(x, p["kernel_q4"]):
+        y = int4_matmul(x, p["kernel_q4"], p["kernel_scale4"])
+    else:
+        packed, scale = jax.lax.optimization_barrier(
+            (p["kernel_q4"], p["kernel_scale4"]))
+        lo, hi = _unpack_int4(packed)
+        g = scale.shape[0]
+        group = 2 * half // g
+
+        def dq(q_half, s_half):
+            # scale multiply in fp32 (advisor r3): casting the fp32 scales
+            # to bf16 first would stack bf16 rounding on the int4 error.
+            # XLA fuses the chain into the matmul operand producer.
+            w = q_half.reshape(g // 2, group, dout).astype(jnp.float32)
+            w = w * s_half[:, None, :]
+            return w.reshape(half, dout).astype(x.dtype)
+
+        y = (x[..., :half] @ dq(lo, scale[: g // 2])
+             + x[..., half:] @ dq(hi, scale[g // 2:]))
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
@@ -237,9 +266,13 @@ def dequantize_linear_params(p: Params, in_dim: int | None = None) -> Params:
                 "(kernel_q4) leaves — the packed layout pads the in-dim to a "
                 f"multiple of the quantization group and cannot recover the "
                 f"original size (padded in-dim here: "
-                f"{p['kernel_q4'].shape[0] * p['kernel_q4'].shape[1] * 2})")
-        q = _unpack_int4(p["kernel_q4"]).astype(jnp.float32)
-        k = (q * p["kernel_scale4"][:, None, :]).reshape(-1, q.shape[-1])
+                f"{p['kernel_q4'].shape[0] * 2})")
+        lo, hi = _unpack_int4(p["kernel_q4"])
+        q = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)
+        scale = p["kernel_scale4"]
+        g, dout = scale.shape
+        group = q.shape[0] // g
+        k = (q.reshape(g, group, dout) * scale[:, None, :]).reshape(-1, dout)
         k = k[:in_dim]
     else:
         k = p["kernel_q"].astype(jnp.float32) * p["kernel_scale"]

@@ -78,11 +78,14 @@ def dit_param_sharding(
         is_scale = sub.endswith("/kernel_scale")
         if is_scale:
             norm = sub[: -len("_scale")].replace("/kernel", "/bias")
-        # int4 leaves: kernel_q4 is (L, g, group//2, out) — col-split shards
-        # the out axis, row-split shards the GROUP axis (the in-dim lives on
-        # (g, group//2), and group boundaries must stay on one device so the
-        # per-group scales dequantize locally). kernel_scale4 is (L, g, out):
-        # out axis for col linears, g axis for row linears.
+        # int4 leaves: kernel_q4 is (L, in_pad/2, out) split-half packed
+        # (r4 layout, ops/quant.py) — col-split shards the out axis,
+        # row-split shards the packed in axis (GSPMD-correct; the dequant's
+        # per-half group reshape may cost a scale gather, acceptable for the
+        # tiny (g, out) scale arrays — int4 is the single-chip capacity
+        # scheme, multi-chip int4 is a test-path edge case).
+        # kernel_scale4 is (L, g, out): out axis for col linears, g axis for
+        # row linears.
         is_q4 = sub.endswith("/kernel_q4")
         is_scale4 = sub.endswith("/kernel_scale4")
         if is_q4:
@@ -97,13 +100,12 @@ def dit_param_sharding(
                 spec[-1] = AXIS_TENSOR
             elif any(norm.endswith(k) for k in _TP_ROW):
                 if is_q4 or is_scale4:
-                    # group axis: (L, g, gr//2, out) resp. (L, g, out). Only
-                    # shard when g divides evenly (fc2 has g=108, indivisible
-                    # by tensor=8 — left replicated there; the fsdp rule
-                    # below may still pick a different axis)
-                    gi = -3 if is_q4 else -2
-                    if shape[gi] % tp_size == 0:
-                        spec[gi] = AXIS_TENSOR
+                    # packed-in axis (L, in_pad/2, out) resp. group axis
+                    # (L, g, out). Only shard when it divides evenly (fc2's
+                    # g=108 is indivisible by tensor=8 — left replicated
+                    # there; the fsdp rule below may still pick another axis)
+                    if shape[-2] % tp_size == 0:
+                        spec[-2] = AXIS_TENSOR
                 elif not is_scale:
                     spec[-2] = AXIS_TENSOR
 
@@ -116,11 +118,12 @@ def dit_param_sharding(
                     # slices it every step, sharding it would reshard per layer
                     if in_block and i == 0 and len(shape) > 1:
                         continue
-                    # avoid kernel_q4's intra-group axis (-2): group
-                    # boundaries must stay on one device so the per-group
-                    # scales dequantize locally (advisor r3 — at 14B col-split
-                    # shapes group//2=64 outranks g=40 and would force
-                    # per-layer weight gathers inside the denoise scan)
+                    # avoid kernel_q4's packed-in axis (-2): an fsdp chunk of
+                    # packed rows rarely aligns with the group reshape the
+                    # dequant performs (g/(2*fsdp) is fractional at 14B
+                    # shapes), which would force per-layer weight gathers
+                    # inside the denoise scan (advisor r3); the out axis is
+                    # always divisible and dequantizes locally
                     if is_q4 and i == len(shape) - 2:
                         continue
                     spec[i] = AXIS_FSDP

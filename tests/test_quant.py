@@ -54,20 +54,19 @@ def test_int4_pack_roundtrip_exact():
         dequantize_linear_params, quantize_linear_params_int4)
 
     rng = np.random.default_rng(3)
-    for din in (256, 200):  # group multiple and padded
+    for din in (256, 200, 130):  # group multiple, padded, odd group count
         p = {"kernel": jnp.asarray(rng.normal(size=(din, 48)), jnp.float32)}
         qp = quantize_linear_params_int4(p)
         assert qp["kernel_q4"].dtype == jnp.int8
         g = -(-din // 128)
-        assert qp["kernel_q4"].shape == (g, 64, 48)
+        g += g % 2  # split-half packing pads to an even group count
+        assert qp["kernel_q4"].shape == (g * 64, 48)
         assert qp["kernel_scale4"].shape == (g, 48)
         deq = dequantize_linear_params(qp, in_dim=din)["kernel"]
         assert deq.shape == (din, 48)
         # grouped symmetric int4: elementwise error <= scale/2 = absmax/14
         scale = np.asarray(qp["kernel_scale4"])  # (g, out)
-        kpad = np.zeros((g * 128, 48), np.float32)
-        kpad[:din] = np.asarray(p["kernel"])
-        err = np.abs(np.asarray(deq) - kpad[:din])
+        err = np.abs(np.asarray(deq) - np.asarray(p["kernel"]))
         bound = np.repeat(scale, 128, axis=0)[:din] / 2 + 1e-6
         assert (err <= bound).all()
 
@@ -90,6 +89,55 @@ def test_int4_linear_matches_dequantized_matmul():
     # and L.linear dispatches on the packed leaves
     np.testing.assert_allclose(np.asarray(L.linear(qp, x)), want,
                                rtol=2e-5, atol=2e-5)
+
+
+def test_int4_pallas_kernel_matches_fallback():
+    """The fused Pallas dequant-matmul (ops/int4_matmul.py) must agree with
+    the XLA two-half-matmul fallback bit-for-bit-ish on the same packed
+    weights (interpret mode — the kernel itself, CPU-executed)."""
+    from chronoedit_tpu.ops.int4_matmul import int4_matmul
+    from chronoedit_tpu.ops.quant import (
+        dequantize_linear_params, quantize_linear_params_int4)
+
+    rng = np.random.default_rng(11)
+    din, dout, m = 256, 128, 130  # K/2=128 (1 tile), ragged M (pads to 256)
+    p = {"kernel": jnp.asarray(rng.normal(size=(din, dout)), jnp.float32)}
+    qp = quantize_linear_params_int4(p)
+    x = jnp.asarray(rng.normal(size=(m, din)), jnp.float32)
+    got = int4_matmul(x, qp["kernel_q4"], qp["kernel_scale4"],
+                      interpret=True)
+    want = np.asarray(x) @ np.asarray(
+        dequantize_linear_params(qp, in_dim=din)["kernel"])
+    assert got.shape == (m, dout)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+    # leading batch dims flatten/unflatten
+    x3 = x.reshape(2, 65, din)
+    got3 = int4_matmul(x3, qp["kernel_q4"], qp["kernel_scale4"],
+                       interpret=True)
+    np.testing.assert_allclose(np.asarray(got3).reshape(m, dout), want,
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_int4_kernel_multi_ktile_and_bf16():
+    """Multiple k tiles exercise the accumulator path; bf16 activations are
+    the serving dtype."""
+    from chronoedit_tpu.ops.int4_matmul import int4_matmul
+    from chronoedit_tpu.ops.quant import (
+        dequantize_linear_params, quantize_linear_params_int4)
+
+    rng = np.random.default_rng(12)
+    din, dout = 1024, 256  # K/2=512 -> bk=512? choose bk=128 for 4 k-tiles
+    p = {"kernel": jnp.asarray(rng.normal(size=(din, dout)), jnp.float32)}
+    qp = quantize_linear_params_int4(p)
+    x = jnp.asarray(rng.normal(size=(64, din)), jnp.bfloat16)
+    got = int4_matmul(x, qp["kernel_q4"], qp["kernel_scale4"],
+                      bk=128, bn=128, interpret=True)
+    w = np.asarray(dequantize_linear_params(qp, in_dim=din)["kernel"])
+    want = np.asarray(x.astype(jnp.float32)) @ w
+    assert got.dtype == jnp.bfloat16
+    rel = (np.abs(np.asarray(got, np.float32) - want)
+           / (np.abs(want) + 1e-3)).mean()
+    assert rel < 0.02, f"mean relative error {rel}"
 
 
 def test_int4_quantize_dit_params_targets_and_idempotency():
@@ -254,8 +302,11 @@ def test_int4_params_shard_and_run_on_mesh():
     q = sharded["blocks"]["self_attn"]["q"]
     assert "tensor" in str(q["kernel_q4"].sharding.spec)
     assert "tensor" in str(q["kernel_scale4"].sharding.spec)
-    fc2 = sharded["blocks"]["ffn"]["fc2"]  # g=1: row guard keeps tp off
-    assert "tensor" not in str(fc2["kernel_q4"].sharding.spec)
+    # row-split fc2: the r4 split-half packed axis (L, in_pad/2, out) is
+    # divisible by tp here, so it row-shards (the r3 3D layout's g=1 guard
+    # kept tp off); numeric equality below is the correctness check
+    fc2 = sharded["blocks"]["ffn"]["fc2"]
+    assert "tensor" in str(fc2["kernel_q4"].sharding.spec)
     with mesh:
         got = np.asarray(jax.jit(
             lambda p: dit_lib.dit_forward(p, cfg, x, ts, text, img,
@@ -304,7 +355,8 @@ def _psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10 * np.log10(peak * peak / mse)
 
 
-def _tiny_pipe_run(quantize, skip: tuple = (), cache: bool = False):
+def _tiny_pipe_run(quantize, skip: tuple = (), cache: bool = False,
+                   reasoning: bool = False):
     import dataclasses
 
     from chronoedit_tpu.configs import chronoedit_tiny
@@ -336,8 +388,12 @@ def _tiny_pipe_run(quantize, skip: tuple = (), cache: bool = False):
     prompt = jax.random.normal(k2, (1, 6, cfg.dit.text_dim))
     img_emb = jax.random.normal(
         k3, (1, cfg.dit.image_tokens, cfg.dit.image_dim))
+    kw = {}
+    if reasoning:  # all-steps reasoning (reference CLI default 50/50)
+        kw = dict(enable_temporal_reasoning=True,
+                  num_temporal_reasoning_steps=cfg.num_steps, num_frames=9)
     return np.asarray(pipe(image, prompt, image_emb=img_emb,
-                           key=jax.random.PRNGKey(5)), np.float32)
+                           key=jax.random.PRNGKey(5), **kw), np.float32)
 
 
 @pytest.mark.slow

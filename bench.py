@@ -129,6 +129,7 @@ _HEADLINE_FIELDS = (
     "est_sec_per_edit_int8_blockcache_serving",
     "est_sec_per_edit_50step_reasoning_int8",
     "e2e_measured_s_1chip_reasoning",
+    "est_sec_per_edit_50step_reasoning_int8_blockcache",
     "dit_block_s_1chip_b1",
     "dit_block_s_1chip_b1_int8",
     "vae_encode_s",
@@ -359,7 +360,7 @@ def quantized_dit_bytes(layers: int, mode: str = "int8") -> int:
     eval_shape — no allocation). int8 keeps the context kv projections bf16
     (0.21 GB/layer), so 'int8 weights' are ~0.51 GB/layer, not 0.3: the full
     40-layer model is ~20.5 GB even in int8 and cannot fit one v5e chip.
-    int4 (w4a16 grouped, ops/quant.py) packs everything: ~8.4 GB at 40
+    int4 (w4a16 grouped, ops/quant.py) packs everything: ~9.1 GB at 40
     layers — the whole 14B model on ONE chip."""
     import dataclasses as dc
 
@@ -378,7 +379,8 @@ def quantized_dit_bytes(layers: int, mode: str = "int8") -> int:
 
 
 def bench_e2e_pipeline_s(layers: int = 8, quantize=False,
-                         cache: tuple | None = None) -> dict:
+                         cache: tuple | None = None,
+                         reasoning: bool = False) -> dict:
     """Measured end-to-end 8-step distilled edit at 720p on ONE chip.
 
     bf16 at 40 layers does not fit one chip (28 GB weights), so the bf16
@@ -386,9 +388,13 @@ def bench_e2e_pipeline_s(layers: int = 8, quantize=False,
     portion only. ``quantize=True`` (int8) or ``quantize="int4"`` builds
     quantized params layer-by-layer (see :func:`_init_quantized_dit`) so
     the deepest HBM-feasible depth is set by the *quantized* footprint, not
-    a transient bf16 copy — int4 fits ALL 40 layers on one chip.
+    a transient bf16 copy.
     ``cache=((a, b), k)`` engages the Δ-DiT block cache — blocks [a, b)
-    reuse their cached token delta except every k-th solver step."""
+    reuse their cached token delta except every k-th solver step.
+    ``reasoning=True`` runs temporal-reasoning mode — the 29-pixel-frame /
+    8-latent-frame 28.8k-token trajectory, reasoning steps = all steps (the
+    reference CLI default 50/50, pipeline_chronoedit.py:700-709) with the
+    dual decode."""
     import dataclasses as dc
 
     from chronoedit_tpu.configs import chronoedit_14b_distilled
@@ -416,9 +422,14 @@ def bench_e2e_pipeline_s(layers: int = 8, quantize=False,
     prompt = jax.random.normal(ks[1], (1, 512, cfg.dit.text_dim), jnp.float32)
     clip = jax.random.normal(ks[2], (1, cfg.dit.image_tokens, cfg.dit.image_dim),
                              jnp.float32)
+    kw = {}
+    if reasoning:
+        kw = {"enable_temporal_reasoning": True,
+              "num_temporal_reasoning_steps": cfg.num_steps}
 
     def run():
-        video = pipe(image, prompt, image_emb=clip, key=jax.random.PRNGKey(3))
+        video = pipe(image, prompt, image_emb=clip, key=jax.random.PRNGKey(3),
+                     **kw)
         return float(jnp.sum(video.astype(jnp.float32)))
 
     run()  # compile + warm
@@ -428,6 +439,8 @@ def bench_e2e_pipeline_s(layers: int = 8, quantize=False,
     del dit_params, vae_params, pipe
     _release_device_memory()
     out = {"layers": layers, "quantize": quantize, "measured_s": measured}
+    if reasoning:
+        out["reasoning"] = True
     if cache is not None:
         out["cache_blocks"] = list(cache[0])
         out["cache_period"] = cache[1]
@@ -494,9 +507,55 @@ def bench_e2e_int8_deepest() -> dict | None:
     return None
 
 
+def bench_e2e_reasoning_deepest(cache: tuple | None = None) -> dict | None:
+    """Measured temporal-reasoning e2e on ONE chip (VERDICT r3 #4): the
+    29-pixel-frame / 8-latent-frame 28.8k-token trajectory, int8
+    projections, 8 distilled steps, reasoning steps = all steps (the
+    reference CLI default, pipeline_chronoedit.py:700-709). Runs at the
+    deepest depth whose HBM feasibility is known/probed — reasoning
+    activations are ~4x the edit mode's, so the feasible depth can sit
+    below the edit path's. ``cache`` additionally engages the Δ-DiT block
+    cache (the measured accelerated reasoning recipe, docs/SERVING.md)."""
+    global _CACHE_DIRTY
+    key = "int8_reason_depth"
+    hist = _feasibility_entry(key)
+    infeasible = set(hist.get("infeasible", []))
+    start = hist.get("feasible") or _feasibility_entry(
+        "int8_e2e_depth").get("feasible") or 20
+    for layers in range(start, 7, -4):
+        if quantized_dit_bytes(layers) > 13.2e9 or layers in infeasible:
+            continue
+        if _remaining() < 420:
+            print(f"[bench] skipping reasoning e2e at {layers} layers "
+                  "(deadline)", file=sys.stderr)
+            return None
+        try:
+            res = bench_e2e_pipeline_s(layers=layers, quantize=True,
+                                       reasoning=True, cache=cache)
+            hist["feasible"] = layers
+            _CACHE[key] = hist
+            _CACHE_DIRTY = True
+            return res
+        except Exception as e:
+            oomish = ("RESOURCE_EXHAUSTED" in str(e)
+                      or "remote_compile" in str(e))
+            if not oomish:
+                print(f"[bench] reasoning e2e failed at {layers} layers: "
+                      f"{type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
+                return None
+            print(f"[bench] reasoning e2e OOM-ish at {layers} layers; "
+                  "trying shallower", file=sys.stderr)
+            infeasible.add(layers)
+            hist["infeasible"] = sorted(infeasible)
+            _CACHE[key] = hist
+            _CACHE_DIRTY = True
+            _release_device_memory()
+    return None
+
+
 def bench_e2e_int4_full() -> dict | None:
     """Measured FULL-DEPTH (40-layer) single-chip e2e via the w4a16 grouped
-    int4 path (ops/quant.py): ~8.4 GB of weights, so the whole 14B model
+    int4 path (ops/quant.py): ~9.1 GB of weights, so the whole 14B model
     fits ONE v5e chip and the flagship depth is measured, not extrapolated.
     Quality is gated by tests/test_quant.py::test_int4_pipeline_psnr_gate.
     Feasibility result persists to bench_cache.json like the int8 probe."""
@@ -660,6 +719,8 @@ def _assemble(partial: dict) -> dict:
     e2e_int8_c = partial.get("e2e_int8_cached")
     e2e_int4 = partial.get("e2e_int4_40")
     e2e_int4_8 = partial.get("e2e_int4_8")
+    e2e_reason = partial.get("e2e_reason")
+    e2e_reason_c = partial.get("e2e_reason_cached")
 
     # VERDICT r3 #3: calibrate the depth-extrapolation model. Predict the
     # full-depth int4 e2e exactly the way the bf16 40-layer estimate is
@@ -688,6 +749,19 @@ def _assemble(partial: dict) -> dict:
     # measurement proved the quantized program's bytes are byte-identical
     # (collective_bytes_edit_fwd_int8 == bf16 on every mesh walked)
     total_reason50_int8 = estimate(dit_r_q, 50, comm_reason)
+
+    # accelerated reasoning recipe (VERDICT r3 #4): the MEASURED 1-chip
+    # cached-vs-uncached reasoning delta at depth L, scaled to 40 layers and
+    # 50 steps (both depth- and step-proportional: the cache saving is
+    # per-cached-block per-step), spread across chips; wire time unchanged
+    # (conservative — reuse steps move fewer bytes too)
+    total_reason50_int8_cached = None
+    if (total_reason50_int8 is not None and e2e_reason is not None
+            and e2e_reason_c is not None):
+        saving = ((e2e_reason["measured_s"] - e2e_reason_c["measured_s"])
+                  * (40 / e2e_reason["layers"]) * (50 / DENOISE_STEPS))
+        total_reason50_int8_cached = (total_reason50_int8
+                                      - saving / N_CHIPS_TARGET)
 
     e2e_40_1chip = None
     if e2e is not None:
@@ -733,13 +807,23 @@ def _assemble(partial: dict) -> dict:
         "est_edits_per_s_batch2_distilled": r(throughput_b2, 3),
         "est_sec_per_edit_50step_reasoning": r(total_reason50, 3),
         "est_sec_per_edit_50step_reasoning_int8": r(total_reason50_int8, 3),
+        # measured 1-chip reasoning e2e (8-step distilled, 28.8k tokens,
+        # int8, reasoning steps = all) and the block-cache-accelerated
+        # variant; the delta calibrates the 50-step serving estimate
+        "e2e_measured_s_1chip_reasoning": r(
+            e2e_reason and e2e_reason["measured_s"], 3),
+        "e2e_reasoning_layers": e2e_reason and e2e_reason["layers"],
+        "e2e_measured_s_1chip_reasoning_blockcache": r(
+            e2e_reason_c and e2e_reason_c["measured_s"], 3),
+        "est_sec_per_edit_50step_reasoning_int8_blockcache": r(
+            total_reason50_int8_cached, 3),
         "e2e_measured_s_1chip_8layer_bf16": r(e2e and e2e["measured_s"], 3),
         "e2e_est_s_1chip_40layer_bf16_extrapolated": r(e2e_40_1chip, 3),
         # round-3: MEASURED, not extrapolated (VERDICT #2) — full 8-step
         # 720p pipeline at the stated depth with int8 projections, one chip
         "e2e_measured_s_1chip_int8": r(e2e_int8 and e2e_int8["measured_s"], 3),
         "e2e_measured_int8_layers": e2e_int8 and e2e_int8["layers"],
-        # FULL 40-layer model on one chip via w4a16 grouped int4 (~8.4 GB
+        # FULL 40-layer model on one chip via w4a16 grouped int4 (~9.1 GB
         # weights) — the flagship depth MEASURED, and the zero-collective
         # throughput recipe: one replica per chip, 8 requests in flight
         "e2e_measured_s_1chip_40layer_int4": r(
@@ -902,6 +986,20 @@ def main():
     # throughput recipe (replicate per chip, 8 independent requests/v5e-8)
     PARTIAL["e2e_int4_40"] = stage("e2e_int4_40", bench_e2e_int4_full,
                                    min_remaining=480)
+    _release_device_memory()
+    # measured accelerated reasoning (VERDICT r3 #4): the 28.8k-token
+    # trajectory e2e with int8 projections, then the same depth with the
+    # Δ-DiT block cache — the cached/uncached delta calibrates the 50-step
+    # reasoning serving estimate
+    PARTIAL["e2e_reason"] = stage("e2e_reason", bench_e2e_reasoning_deepest,
+                                  min_remaining=480)
+    e2e_reason = PARTIAL.get("e2e_reason")
+    if e2e_reason:
+        L = e2e_reason["layers"]
+        PARTIAL["e2e_reason_cached"] = stage(
+            "e2e_reason_cached", bench_e2e_pipeline_s, layers=L,
+            quantize=True, reasoning=True, cache=((L // 5, L - L // 5), 2),
+            min_remaining=360)
     _release_device_memory()
     # extrapolation-model calibration inputs (VERDICT r3 #3): a shallow int4
     # e2e + the int4 per-block time let _assemble predict the 40-layer run

@@ -84,7 +84,10 @@ def _maximal_partial():
         "e2e_int4_40": {"layers": 40, "quantize": "int4", "measured_s": 11.2},
         "e2e_int4_8": {"layers": 8, "quantize": "int4", "measured_s": 3.1},
         "e2e_reason": {"layers": 20, "quantize": True, "measured_s": 71.0,
-                       "steps": 8, "cache_blocks": [4, 16], "cache_period": 2},
+                       "reasoning": True},
+        "e2e_reason_cached": {"layers": 20, "quantize": True,
+                              "measured_s": 58.0, "reasoning": True,
+                              "cache_blocks": [4, 16], "cache_period": 2},
         "reason_mesh": "tensor=4,context=2",
         "edit_cands": {"tensor=8": 0.1721, "tensor=4,context=2": 0.1004,
                        "tensor=2,context=4": 0.0577},
@@ -140,3 +143,28 @@ def test_assemble_extrapolation_calibration():
     d = bench._assemble(p)["detail"]
     assert d["extrapolation_error"] is None
     assert d["e2e_predicted_s_1chip_40layer_int4"] is not None
+
+
+def test_assemble_reasoning_blockcache_derivation():
+    """round-4 (VERDICT r3 #4): the measured cached-vs-uncached reasoning
+    delta at depth L scales by (40/L)*(50/8), spreads over the chips, and
+    subtracts from the 50-step int8 reasoning estimate."""
+    p = _maximal_partial()
+    out = bench._assemble(p)
+    d = out["detail"]
+    assert d["e2e_measured_s_1chip_reasoning"] == 71.0
+    assert d["e2e_reasoning_layers"] == 20
+    assert d["e2e_measured_s_1chip_reasoning_blockcache"] == 58.0
+    base = d["est_sec_per_edit_50step_reasoning_int8"]
+    saving = (71.0 - 58.0) * (40 / 20) * (50 / 8)
+    want = base - saving / bench.N_CHIPS_TARGET
+    assert abs(d["est_sec_per_edit_50step_reasoning_int8_blockcache"] - want) < 1e-2
+    # headline carries the recipe number
+    line = bench._shorten(out)
+    assert ("est_sec_per_edit_50step_reasoning_int8_blockcache"
+            in line["headline"])
+    # cached run missing -> derived field None, measured field intact
+    del p["e2e_reason_cached"]
+    d = bench._assemble(p)["detail"]
+    assert d["est_sec_per_edit_50step_reasoning_int8_blockcache"] is None
+    assert d["e2e_measured_s_1chip_reasoning"] == 71.0

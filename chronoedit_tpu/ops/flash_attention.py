@@ -177,6 +177,13 @@ def _fwd_kernel_streamed(q_ref, k_ref, v_ref, o_ref, lse_ref,
     # padded — a lax.cond boundary-only variant measured *slower* (74 vs
     # 126 TFLOP/s at 28.8k tokens): the conditional blocks Mosaic's
     # scheduling, while the mask itself is ~3 cheap VPU ops/token.
+    # Negative result (round 4): splitting this kernel's kv block into a
+    # resident-style static sub-block unroll (2x 512 per 1024 block, local
+    # acc/m/l carried through the unroll) HALVED throughput — 57-76 vs
+    # 124 TFLOP/s measured at the 28.8k reasoning shape. The resident
+    # kernel's unroll wins because its KV never re-enters through the grid
+    # pipeline; here the dynamic sub-slices of the streamed block defeated
+    # Mosaic's scheduling instead of improving MXU/VPU overlap. Don't retry.
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 

@@ -74,7 +74,7 @@ def is_quantized(p: Params) -> bool:
 
 # Grouped int4 weight-only quantization: a CAPACITY scheme, not a throughput
 # one. The full int8 (w8a8) model is ~20.5 GB and cannot fit one 16 GB v5e
-# chip; int4 weights put the 40-layer 14B DiT at ~8.4 GB, so the whole model
+# chip; int4 weights put the 40-layer 14B DiT at ~9.1 GB, so the whole model
 # serves on a SINGLE chip. Compute stays bf16 (weights are dequantized on the
 # fly — in-VMEM by the Pallas fused kernel on TPU (ops/int4_matmul.py), or
 # as XLA-fused elementwise work ahead of the matmul elsewhere). Quality is
@@ -138,13 +138,15 @@ def quantized_linear_int4(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """w4a16 linear: dequantize grouped int4 weights to the activation dtype
     and matmul on the MXU. Output in ``x.dtype``.
 
-    On TPU the fused Pallas kernel (ops/int4_matmul.py) unpacks + scales the
-    weight tile in VMEM right before the MXU dot, so the bf16 weights never
-    exist in HBM at all. The XLA fallback (CPU tests, odd shapes) computes
-    ``x_lo @ dq(lo) + x_hi @ dq(hi)`` — elementwise unpack + two half
-    matmuls XLA fuses; the optimization_barrier pins the dequant to the
-    per-layer weight slice so the scan does not hoist a whole-stack dequant
-    (r2 lesson: 18 GB of temps at just 4 layers without it)."""
+    Default path: XLA-fused ``x_lo @ dq(lo) + x_hi @ dq(hi)`` — elementwise
+    unpack + two half matmuls, measured FASTER than the Pallas kernel at
+    serving shapes (tools/tune_int4_matmul.py) and, with the split-half
+    packing, free of the relayout copies that OOMed r3. The
+    optimization_barrier pins the dequant to the per-layer weight slice so
+    the scan does not hoist a whole-stack dequant (r2 lesson: 18 GB of
+    temps at just 4 layers without it). ``CHRONOEDIT_INT4_KERNEL=1`` opts
+    into the Pallas fused kernel (in-VMEM dequant; see ops/int4_matmul.py
+    for when that is the right escape hatch)."""
     from chronoedit_tpu.ops.int4_matmul import (
         int4_matmul_supported, int4_matmul)
 

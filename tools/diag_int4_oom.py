@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--layers", type=int, default=40)
     ap.add_argument("--height", type=int, default=704)
     ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--mode", default="int4", choices=("int4", "int8"),
+                    help="quantization scheme to diagnose")
     ap.add_argument("--run", action="store_true", help="execute after AOT")
     args = ap.parse_args()
 
@@ -59,11 +61,12 @@ def main():
     cfg = dc.replace(cfg, dit=dc.replace(cfg.dit, num_layers=args.layers,
                                          param_dtype=jnp.bfloat16))
     mem("start")
-    dit_params = _init_quantized_dit(cfg.dit, mode="int4")
+    dit_params = _init_quantized_dit(cfg.dit, mode=args.mode)
     w_bytes = sum(l.size * l.dtype.itemsize
                   for l in jax.tree_util.tree_leaves(dit_params))
-    print(f"[weights] int4 DiT param bytes: {w_bytes/1e9:.2f} GB", flush=True)
-    mem("after-int4-init")
+    print(f"[weights] {args.mode} DiT param bytes: {w_bytes/1e9:.2f} GB",
+          flush=True)
+    mem("after-quant-init")
 
     vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), cfg.vae)
     mem("after-vae-init")

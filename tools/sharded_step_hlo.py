@@ -305,6 +305,12 @@ def main():
                          "blocks, period 2) in the --model pipeline program")
     ap.add_argument("--quantize", action="store_true",
                     help="pipeline model: int8 w8a8 DiT projections")
+    ap.add_argument("--remat", default=None,
+                    choices=(None, "none", "full", "matmul_only"),
+                    help="activation remat policy; --model train defaults "
+                         "to 'full' (the production 14B training setting — "
+                         "without remat the 40-layer saved activations "
+                         "alone exceed v5e HBM at any fsdp width)")
     ap.add_argument("--preset", default="14b", choices=("14b", "small"),
                     help="small = 2x128 heads / 1024 ffn: fast compiles for "
                          "regression tests of the sharded TPU program")
@@ -351,8 +357,9 @@ def main():
         _vae_report(args, mesh)
         return
 
+    remat = args.remat or ("full" if args.model == "train" else "none")
     cfg = dataclasses.replace(chronoedit_14b().dit, num_layers=args.layers,
-                              param_dtype=jnp.bfloat16)
+                              param_dtype=jnp.bfloat16, remat=remat)
     if args.preset == "small":
         # full-width kernels (head_dim 128, lane-aligned dims) at a fraction
         # of the weights, so the Pallas-in-shard_map paths are exercised

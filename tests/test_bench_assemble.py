@@ -168,3 +168,18 @@ def test_assemble_reasoning_blockcache_derivation():
     d = bench._assemble(p)["detail"]
     assert d["est_sec_per_edit_50step_reasoning_int8_blockcache"] is None
     assert d["e2e_measured_s_1chip_reasoning"] == 71.0
+
+
+def test_assemble_int4_blockcache_fields():
+    p = _maximal_partial()
+    p["e2e_int4_40_cached"] = {"layers": 40, "quantize": "int4",
+                               "measured_s": 8.9, "cache_blocks": [8, 32],
+                               "cache_period": 2}
+    out = bench._assemble(p)
+    d = out["detail"]
+    assert d["e2e_measured_s_1chip_40layer_int4_blockcache"] == 8.9
+    assert abs(d["est_edits_per_s_v5e8_int4_cached_replicated"]
+               - 8 / 8.9) < 1e-3
+    line = bench._shorten(out)
+    assert len(__import__("json").dumps(line)) < 1500
+    assert "e2e_measured_s_1chip_40layer_int4_blockcache" in line["headline"]

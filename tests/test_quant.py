@@ -426,6 +426,14 @@ def test_int4_pipeline_psnr_gate():
     print(f"int4-vs-bf16 pipeline PSNR: {db:.1f} dB")
     assert db >= 24.0, f"int4 pipeline PSNR {db:.1f} dB below the 24 dB gate"
 
+    # int4 + Δ-cache composition — the single-chip throughput recipe
+    # (bench.py e2e_measured_s_1chip_40layer_int4_blockcache); both levers
+    # stacked must still clear the int4 bar
+    both = _tiny_pipe_run(quantize="int4", cache=True)
+    db2 = _psnr(both, ref)
+    print(f"int4+cached-vs-bf16 pipeline PSNR: {db2:.1f} dB")
+    assert db2 >= 23.0, db2
+
 
 @pytest.mark.slow
 def test_int8_skip_escape_hatch():

@@ -3,7 +3,14 @@
 
 Measures the jitted rectified-flow train step (fwd+bwd+AdamW+EMA) and a
 LoRA step at 720p edit shapes; reports per-step time and the 40-layer
-extrapolation. Run on TPU:  python tools/bench_train.py
+extrapolation. Run on TPU:  python tools/bench_train.py [--probe]
+
+``--probe`` (VERDICT r3 #6) bisects the DEEPEST single-chip depth for both
+step kinds (the full step carries f32 Adam moments — ~2.9 GB/layer of
+optimizer state on top of the bf16 params — so its ceiling is far below
+the LoRA step's, whose trainables are the rank-32 adapters only), measures
+there with remat="matmul_only", and writes the result to TRAIN_BENCH.json
+(committed; the honest training perf artifact docs/TRAINING.md quotes).
 """
 
 import dataclasses
@@ -52,36 +59,115 @@ def time_steps(step_fn, state, *args, iters=3):
     return (time.perf_counter() - t0) / iters
 
 
-def main(layers=2):
-    base = chronoedit_14b().dit
-    cfg = dataclasses.replace(base, num_layers=layers,
-                              param_dtype=jnp.bfloat16, remat="full")
+def _release():
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
+
+def _measure_full(layers: int, remat: str) -> float:
+    cfg = dataclasses.replace(chronoedit_14b().dit, num_layers=layers,
+                              param_dtype=jnp.bfloat16, remat=remat)
     tcfg = TrainConfig(warmup_steps=1)
     batch = batch_720p(cfg)
-
-    # full fine-tune step
     params = dit_lib.init_dit_params(jax.random.PRNGKey(0), cfg)
     state = make_train_state(params, tcfg)
+    del params
     step = make_train_step(cfg, tcfg, donate=True)
-    t_full = time_steps(step, state, batch)
-    del state, params
+    t = time_steps(step, state, batch)
+    del state
+    _release()
+    return t
 
-    # LoRA step
+
+def _measure_lora(layers: int, remat: str) -> float:
+    cfg = dataclasses.replace(chronoedit_14b().dit, num_layers=layers,
+                              param_dtype=jnp.bfloat16, remat=remat)
+    tcfg = TrainConfig(warmup_steps=1)
+    batch = batch_720p(cfg)
     params = dit_lib.init_dit_params(jax.random.PRNGKey(0), cfg)
     lcfg = lora_lib.LoRAConfig(rank=32)
     lora = lora_lib.init_lora_params(jax.random.PRNGKey(1), params, lcfg)
     lstate = make_lora_train_state(lora, tcfg)
     lstep = make_lora_train_step(cfg, tcfg, lcfg, donate=True)
-    t_lora = time_steps(lstep, lstate, params, batch)
+    t = time_steps(lstep, lstate, params, batch)
+    del params, lora, lstate
+    _release()
+    return t
 
-    print(json.dumps({
-        "layers": layers,
-        "full_step_s_1chip": round(t_full, 3),
-        "lora_step_s_1chip": round(t_lora, 3),
-        "full_step_s_40layer_est": round(t_full * 40 / layers, 3),
-        "lora_step_s_40layer_est": round(t_lora * 40 / layers, 3),
-        "note": "720p edit batch=1, bf16 params, full remat",
-    }))
+
+def _probe_deepest(measure, depths) -> tuple[int, float] | None:
+    """Walk depths descending; return the first (deepest) that runs."""
+    for layers in depths:
+        try:
+            return layers, measure(layers)
+        except Exception as e:  # noqa: BLE001 - OOM-probe by construction
+            oomish = ("RESOURCE_EXHAUSTED" in str(e)
+                      or "remote_compile" in str(e))
+            print(f"[bench_train] {layers} layers failed "
+                  f"({'OOM-ish' if oomish else type(e).__name__}): "
+                  f"{str(e)[:160]}", file=sys.stderr)
+            _release()
+            if not oomish:
+                return None
+    return None
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=2)
+    ap.add_argument("--remat", default="full",
+                    choices=("full", "matmul_only", "none"))
+    ap.add_argument("--probe", action="store_true",
+                    help="find the deepest single-chip depth per step kind, "
+                         "measure there, write TRAIN_BENCH.json")
+    args = ap.parse_args()
+
+    if not args.probe:
+        t_full = _measure_full(args.layers, args.remat)
+        t_lora = _measure_lora(args.layers, args.remat)
+        print(json.dumps({
+            "layers": args.layers,
+            "full_step_s_1chip": round(t_full, 3),
+            "lora_step_s_1chip": round(t_lora, 3),
+            "full_step_s_40layer_est": round(t_full * 40 / args.layers, 3),
+            "lora_step_s_40layer_est": round(t_lora * 40 / args.layers, 3),
+            "note": f"720p edit batch=1, bf16 params, remat={args.remat}",
+        }))
+        return
+
+    # probe both remat policies: matmul_only (faster per layer, more saved
+    # activations -> shallow ceiling) and full (recompute everything ->
+    # deepest single-chip depth). The deepest-depth row is the extrapolation
+    # anchor; the matmul_only row is the per-layer-throughput anchor.
+    out = {
+        "note": "720p edit batch=1 (7.2k tokens), bf16 params, one v5e "
+                "chip; measured = deepest HBM-feasible depth per (step "
+                "kind, remat); 40-layer figures scale the per-layer step "
+                "time (extrapolation_error in BENCH_DETAIL.json calibrates "
+                "this model on the serving path)",
+    }
+    for remat, tag in (("matmul_only", "mm"), ("full", "full_remat")):
+        # full step: ~3.7 GB/layer of param+moment state -> ceiling is low
+        full = _probe_deepest(lambda n: _measure_full(n, remat), (4, 3, 2))
+        # LoRA step: frozen bf16 params dominate (~0.72 GB/layer)
+        lora = _probe_deepest(lambda n: _measure_lora(n, remat),
+                              (16, 12, 8, 4, 2))
+        if full:
+            out[f"full_step_{tag}"] = {
+                "layers": full[0], "step_s_1chip": round(full[1], 3),
+                "step_s_40layer_est": round(full[1] * 40 / full[0], 3)}
+        if lora:
+            out[f"lora_step_{tag}"] = {
+                "layers": lora[0], "step_s_1chip": round(lora[1], 3),
+                "step_s_40layer_est": round(lora[1] * 40 / lora[0], 3)}
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "TRAIN_BENCH.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -513,21 +513,28 @@ def bench_e2e_int8_deepest() -> dict | None:
     return None
 
 
-def bench_e2e_reasoning_deepest(cache: tuple | None = None) -> dict | None:
+def bench_e2e_reasoning_deepest(cache: bool = False) -> dict | None:
     """Measured temporal-reasoning e2e on ONE chip (VERDICT r3 #4): the
     29-pixel-frame / 8-latent-frame 28.8k-token trajectory, int8
     projections, 8 distilled steps, reasoning steps = all steps (the
     reference CLI default, pipeline_chronoedit.py:700-709). Runs at the
     deepest depth whose HBM feasibility is known/probed — reasoning
     activations are ~4x the edit mode's, so the feasible depth can sit
-    below the edit path's. ``cache`` additionally engages the Δ-DiT block
-    cache (the measured accelerated reasoning recipe, docs/SERVING.md)."""
+    below the edit path's. ``cache=True`` additionally engages the Δ-DiT
+    block cache at the middle-60% recipe for whatever depth the probe
+    lands on (the measured accelerated reasoning recipe, docs/SERVING.md;
+    the serving derivation in _assemble uses it only when it matched the
+    uncached run's depth)."""
     global _CACHE_DIRTY
-    key = "int8_reason_depth"
+    # separate feasibility key when the cache is engaged: the delta carry
+    # bills extra HBM, and an OOM there must not mark the uncached depth
+    # infeasible (round-4 review)
+    key = "int8_reason_depth" + ("_cached" if cache else "")
     hist = _feasibility_entry(key)
     infeasible = set(hist.get("infeasible", []))
-    start = hist.get("feasible") or _feasibility_entry(
-        "int8_e2e_depth").get("feasible") or 20
+    start = (hist.get("feasible")
+             or _feasibility_entry("int8_reason_depth").get("feasible")
+             or _feasibility_entry("int8_e2e_depth").get("feasible") or 20)
     for layers in range(start, 7, -4):
         if quantized_dit_bytes(layers) > 13.2e9 or layers in infeasible:
             continue
@@ -536,8 +543,10 @@ def bench_e2e_reasoning_deepest(cache: tuple | None = None) -> dict | None:
                   "(deadline)", file=sys.stderr)
             return None
         try:
-            res = bench_e2e_pipeline_s(layers=layers, quantize=True,
-                                       reasoning=True, cache=cache)
+            res = bench_e2e_pipeline_s(
+                layers=layers, quantize=True, reasoning=True,
+                cache=((layers // 5, layers - layers // 5), 2) if cache
+                else None)
             hist["feasible"] = layers
             _CACHE[key] = hist
             _CACHE_DIRTY = True
@@ -758,15 +767,25 @@ def _assemble(partial: dict) -> dict:
     total_reason50_int8 = estimate(dit_r_q, 50, comm_reason)
 
     # accelerated reasoning recipe (VERDICT r3 #4): the MEASURED 1-chip
-    # cached-vs-uncached reasoning delta at depth L, scaled to 40 layers and
-    # 50 steps (both depth- and step-proportional: the cache saving is
-    # per-cached-block per-step), spread across chips; wire time unchanged
-    # (conservative — reuse steps move fewer bytes too)
+    # cached-vs-uncached reasoning delta at depth L, scaled by the 40-layer
+    # recipe's cached-block span and by steps (the saving is per-cached-
+    # block per-step), spread across chips; wire time unchanged
+    # (conservative — reuse steps move fewer bytes too). Only derived when
+    # both runs measured the SAME depth (the cached probe may land
+    # shallower if the cache carry tips HBM).
+    _RECIPE_SPAN_40 = 24
+
+    def _cache_saving_40(uncached, cached):
+        span = cached["cache_blocks"][1] - cached["cache_blocks"][0]
+        return ((uncached["measured_s"] - cached["measured_s"])
+                * _RECIPE_SPAN_40 / max(span, 1))
+
     total_reason50_int8_cached = None
     if (total_reason50_int8 is not None and e2e_reason is not None
-            and e2e_reason_c is not None):
-        saving = ((e2e_reason["measured_s"] - e2e_reason_c["measured_s"])
-                  * (40 / e2e_reason["layers"]) * (50 / DENOISE_STEPS))
+            and e2e_reason_c is not None
+            and e2e_reason["layers"] == e2e_reason_c["layers"]):
+        saving = (_cache_saving_40(e2e_reason, e2e_reason_c)
+                  * (50 / DENOISE_STEPS))
         total_reason50_int8_cached = (total_reason50_int8
                                       - saving / N_CHIPS_TARGET)
 
@@ -777,16 +796,20 @@ def _assemble(partial: dict) -> dict:
                         + DENOISE_STEPS * 40 * dit1["per_block_s"])
 
     # serving estimate with the Δ-DiT block cache engaged: the measured
-    # 1-chip cached-vs-uncached delta at depth L covers the middle-60%
-    # recipe, which is depth-proportional — scale to 40 layers and spread
-    # the (compute-only) saving over the chips; wire time is left unchanged
+    # 1-chip cached-vs-uncached delta at depth L is proportional to the
+    # number of CACHED blocks, not the depth (round-4 review: at shallow L
+    # the middle-60% recipe caches a higher fraction, so scaling by 40/L
+    # overstated the saving by up to 25%) — scale by the 40-layer recipe's
+    # span (blocks 8:32 -> 24) over the measured run's span, and spread the
+    # (compute-only) saving over the chips; wire time is left unchanged
     # (conservative: reuse steps actually move fewer bytes too)
     total_int8_cached = None
     if (total_int8 is not None and e2e_int8 is not None
-            and e2e_int8_c is not None):
-        saving_40 = ((e2e_int8["measured_s"] - e2e_int8_c["measured_s"])
-                     * 40 / e2e_int8["layers"])
-        total_int8_cached = total_int8 - saving_40 / N_CHIPS_TARGET
+            and e2e_int8_c is not None
+            and e2e_int8["layers"] == e2e_int8_c["layers"]):
+        total_int8_cached = (total_int8
+                             - _cache_saving_40(e2e_int8, e2e_int8_c)
+                             / N_CHIPS_TARGET)
 
     def penalty(dit, comm_s):
         if dit is None or comm_s is None:
@@ -1013,12 +1036,9 @@ def main():
     # reasoning serving estimate
     PARTIAL["e2e_reason"] = stage("e2e_reason", bench_e2e_reasoning_deepest,
                                   min_remaining=480)
-    e2e_reason = PARTIAL.get("e2e_reason")
-    if e2e_reason:
-        L = e2e_reason["layers"]
+    if PARTIAL.get("e2e_reason"):
         PARTIAL["e2e_reason_cached"] = stage(
-            "e2e_reason_cached", bench_e2e_pipeline_s, layers=L,
-            quantize=True, reasoning=True, cache=((L // 5, L - L // 5), 2),
+            "e2e_reason_cached", bench_e2e_reasoning_deepest, cache=True,
             min_remaining=360)
     _release_device_memory()
     # extrapolation-model calibration inputs (VERDICT r3 #3): a shallow int4

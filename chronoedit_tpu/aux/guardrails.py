@@ -176,7 +176,12 @@ class Blocklist:
     exact_words: tuple[str, ...] = _DEFAULT_EXACT
     partial_phrases: tuple[str, ...] = _DEFAULT_PARTIAL
     whitelist: tuple[str, ...] = _DEFAULT_WHITELIST
-    fuzzy_min_chars: int = 6
+    # fuzzy matching only for phrases >= 10 chars: at the reference's 6-char
+    # floor a 1-char tolerance on short two-word phrases clips everyday
+    # bigrams ("was the" ~ "gas the", "will all" ~ "kill all" — round-4
+    # review, verified by execution). Short entries still match as exact
+    # substrings.
+    fuzzy_min_chars: int = 10
     fuzzy_letter_count: float = 1.0
 
     @classmethod
@@ -189,8 +194,11 @@ class Blocklist:
             or _DEFAULT_EXACT,
             partial_phrases=_read_word_list(os.path.join(path, "partial.txt"))
             or _DEFAULT_PARTIAL,
-            whitelist=_read_word_list(os.path.join(path, "whitelist.txt"))
-            or _DEFAULT_WHITELIST)
+            # NO bundled fallback for the whitelist: it is subtractive (a
+            # whitelisted token can disarm a custom partial phrase), so a
+            # deployment that ships its own lists without a whitelist.txt
+            # must get an empty one, not ours (round-4 review)
+            whitelist=_read_word_list(os.path.join(path, "whitelist.txt")))
 
     @staticmethod
     def normalize(prompt: str) -> str:
@@ -231,7 +239,10 @@ class Blocklist:
         if hit:
             return False, f"blocked word {sorted(hit)[0]!r}"
         for phrase in self.partial_phrases:
-            if phrase in norm:
+            # word-boundary match (reference blocklist.py:155-157) — a bare
+            # substring test lets short phrases clip longer words
+            # ("gas the" inside "gas theory")
+            if re.search(rf"\b{re.escape(phrase)}\b", norm):
                 return False, f"blocked phrase {phrase!r}"
             if (len(phrase) >= self.fuzzy_min_chars
                     and self._fuzzy_match(tokens, phrase)):

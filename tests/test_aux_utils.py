@@ -444,3 +444,41 @@ def test_bundled_blocklist_reference_scale():
     assert bl("a skyscraper at sunset, rapid clouds")[0]
     assert bl("add drapes to the window and grapes to the bowl")[0]
     assert bl("a classical mass in a cathedral")[0]
+
+
+def test_blocklist_benign_prompts_pass():
+    """round-4 review regressions: fuzzy matching at the 6-char floor
+    clipped everyday bigrams ('was the' ~ 'gas the', 'will all' ~
+    'kill all'), lemma-stripping blocked benign compounds, and bare
+    substring matching clipped longer words. All of these must pass."""
+    bl = Blocklist()
+    for prompt in (
+        "she has the best smile",
+        "the dog was the hero of the story",
+        "they will all cheer at the finale",
+        "a photo where nudity is not present",
+        "a cookie cutter shape of a star",
+        "a snuffed out candle on a cake",
+        "a diagram of the gas theory of stars",
+        "make the colors rapid and vivid",
+    ):
+        ok, reason = bl(prompt)
+        assert ok, f"benign prompt blocked: {prompt!r} -> {reason}"
+    # the curated harmful phrases still block
+    for prompt in ("a mass shooting scene", "a snuff film poster",
+                   "gang rape depiction", "child sexual imagery"):
+        assert not bl(prompt)[0], f"should block: {prompt!r}"
+
+
+def test_blocklist_from_dir_no_whitelist_fallback(tmp_path):
+    """from_dir must NOT inherit the bundled whitelist (it is subtractive:
+    a whitelisted token can disarm a custom partial phrase)."""
+    d = tmp_path / "bl"
+    d.mkdir()
+    (d / "exact.txt").write_text("forbiddenword\n")
+    (d / "partial.txt").write_text("rapid fire contraband\n")
+    bl = Blocklist.from_dir(str(d))
+    assert bl.whitelist == ()
+    # 'rapid' is in the BUNDLED whitelist; a custom phrase containing it
+    # must still fire when the deployment ships no whitelist of its own
+    assert not bl("selling rapid fire contraband here")[0]

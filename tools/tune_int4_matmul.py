@@ -125,6 +125,14 @@ def main():
             if best is None or t < best[1]:
                 best = ((bm, bn, bk), t)
 
+        if best is None:  # every config failed — report and keep sweeping
+            results.append({"shape": f"{m}x{k}x{n}",
+                            "bf16_ms": round(t_bf16 * 1e3, 3),
+                            "xla_fallback_ms": round(t_xla * 1e3, 3),
+                            "kernel_best_ms": None, "sweep_ms": table})
+            print(json.dumps(results[-1]), flush=True)
+            continue
+
         # numeric check at the best config — against the XLA fallback on the
         # SAME quantized weights (isolates kernel correctness from int4
         # quantization error, which dominates on random gaussian weights)

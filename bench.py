@@ -487,6 +487,7 @@ def bench_e2e_int8_deepest() -> dict | None:
             print(f"[bench] skipping int8 e2e at {layers} layers "
                   "(deadline)", file=sys.stderr)
             return None
+        failure = None
         try:
             res = bench_e2e_pipeline_s(layers=layers, quantize=True)
             hist["feasible"] = layers
@@ -498,18 +499,23 @@ def bench_e2e_int8_deepest() -> dict | None:
             # opaque compile-helper HTTP 500 rather than RESOURCE_EXHAUSTED —
             # treat both as "too deep" and probe shallower; remember the
             # rejected depth so repeat runs skip the failing compile entirely
-            oomish = ("RESOURCE_EXHAUSTED" in str(e)
-                      or "remote_compile" in str(e))
-            if not oomish:
-                print(f"[bench] int8 e2e failed at {layers} layers: "
-                      f"{type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
-                return None
-            print(f"[bench] int8 e2e OOM-ish at {layers} layers "
-                  f"({str(e)[:120]}); trying shallower", file=sys.stderr)
-            infeasible.add(layers)
-            hist["infeasible"] = sorted(infeasible)
-            _CACHE["int8_e2e_depth"] = hist
-            _CACHE_DIRTY = True
+            failure = (("RESOURCE_EXHAUSTED" in str(e)
+                        or "remote_compile" in str(e)),
+                       type(e).__name__, str(e)[:300])
+        # outside the except block so the traceback no longer pins the
+        # failed attempt's on-device params (see stage() above)
+        _release_device_memory()
+        oomish, ename, emsg = failure
+        if not oomish:
+            print(f"[bench] int8 e2e failed at {layers} layers: "
+                  f"{ename}: {emsg}", file=sys.stderr)
+            return None
+        print(f"[bench] int8 e2e OOM-ish at {layers} layers "
+              f"({emsg[:120]}); trying shallower", file=sys.stderr)
+        infeasible.add(layers)
+        hist["infeasible"] = sorted(infeasible)
+        _CACHE["int8_e2e_depth"] = hist
+        _CACHE_DIRTY = True
     return None
 
 
@@ -542,6 +548,7 @@ def bench_e2e_reasoning_deepest(cache: bool = False) -> dict | None:
             print(f"[bench] skipping reasoning e2e at {layers} layers "
                   "(deadline)", file=sys.stderr)
             return None
+        failure = None
         try:
             res = bench_e2e_pipeline_s(
                 layers=layers, quantize=True, reasoning=True,
@@ -552,19 +559,21 @@ def bench_e2e_reasoning_deepest(cache: bool = False) -> dict | None:
             _CACHE_DIRTY = True
             return res
         except Exception as e:
-            oomish = ("RESOURCE_EXHAUSTED" in str(e)
-                      or "remote_compile" in str(e))
-            if not oomish:
-                print(f"[bench] reasoning e2e failed at {layers} layers: "
-                      f"{type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
-                return None
-            print(f"[bench] reasoning e2e OOM-ish at {layers} layers; "
-                  "trying shallower", file=sys.stderr)
-            infeasible.add(layers)
-            hist["infeasible"] = sorted(infeasible)
-            _CACHE[key] = hist
-            _CACHE_DIRTY = True
-            _release_device_memory()
+            failure = (("RESOURCE_EXHAUSTED" in str(e)
+                        or "remote_compile" in str(e)),
+                       type(e).__name__, str(e)[:300])
+        _release_device_memory()  # outside except: see stage()
+        oomish, ename, emsg = failure
+        if not oomish:
+            print(f"[bench] reasoning e2e failed at {layers} layers: "
+                  f"{ename}: {emsg}", file=sys.stderr)
+            return None
+        print(f"[bench] reasoning e2e OOM-ish at {layers} layers; "
+              "trying shallower", file=sys.stderr)
+        infeasible.add(layers)
+        hist["infeasible"] = sorted(infeasible)
+        _CACHE[key] = hist
+        _CACHE_DIRTY = True
     return None
 
 
@@ -580,17 +589,22 @@ def bench_e2e_int4_full() -> dict | None:
         print("[bench] cached: int4 40-layer e2e infeasible at this code "
               "version", file=sys.stderr)
         return None
+    failure = None
     try:
         return bench_e2e_pipeline_s(layers=40, quantize="int4")
     except Exception as e:
-        oomish = ("RESOURCE_EXHAUSTED" in str(e) or "remote_compile" in str(e))
-        print(f"[bench] int4 40-layer e2e failed ({'OOM-ish' if oomish else type(e).__name__}): "
-              f"{str(e)[:300]}", file=sys.stderr)
-        if oomish:
-            hist["infeasible"] = True
-            _CACHE["int4_e2e_40"] = hist
-            _CACHE_DIRTY = True
-        return None
+        failure = (("RESOURCE_EXHAUSTED" in str(e)
+                    or "remote_compile" in str(e)),
+                   type(e).__name__, str(e)[:300])
+    _release_device_memory()  # outside except: see stage()
+    oomish, ename, emsg = failure
+    print(f"[bench] int4 40-layer e2e failed "
+          f"({'OOM-ish' if oomish else ename}): {emsg}", file=sys.stderr)
+    if oomish:
+        hist["infeasible"] = True
+        _CACHE["int4_e2e_40"] = hist
+        _CACHE_DIRTY = True
+    return None
 
 
 # ------------------------------------------------- sharded-program metrics
@@ -998,8 +1012,14 @@ def main():
         except Exception as e:  # noqa: BLE001 - the line must still print
             print(f"[bench] stage {name} failed: {type(e).__name__}: "
                   f"{str(e)[:300]}", file=sys.stderr)
-            _release_device_memory()
-            return None
+        # release OUTSIDE the except block: inside it, e.__traceback__ pins
+        # the failed call's frames — including a probe's multi-GB on-device
+        # param tree — so clear_caches+gc there frees nothing and every
+        # later stage inherits a poisoned chip (r4 rehearsal: one leaked
+        # 24-layer int8 init cascaded into 9 spurious stage OOMs and false
+        # 'infeasible' cache entries for programs PROVEN to fit)
+        _release_device_memory()
+        return None
 
     PARTIAL["dit1"] = stage("dit1", bench_dit_block_ms, batch=1)
     PARTIAL["dit1_q"] = stage("dit1_q", bench_dit_block_ms, batch=1,

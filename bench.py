@@ -197,7 +197,8 @@ def _code_hash() -> str:
 
     h = hashlib.sha256()
     for rel in ("chronoedit_tpu/ops/quant.py", "chronoedit_tpu/models/dit.py",
-                "chronoedit_tpu/pipeline/edit_pipeline.py"):
+                "chronoedit_tpu/pipeline/edit_pipeline.py",
+                "chronoedit_tpu/models/vae.py"):
         try:
             with open(os.path.join(_HERE, rel), "rb") as f:
                 h.update(f.read())

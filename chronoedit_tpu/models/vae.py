@@ -397,14 +397,134 @@ def vae_encode(params: Params, cfg: VAEConfig, video: jnp.ndarray,
     return _to_cfirst(mu)
 
 
+# ------------------------------------------------------- streamed decode
+#
+# The reference decodes frame-by-frame with Python-side per-conv feature
+# caches (wan2pt1.py:543-560) so long videos never materialize full-sequence
+# decoder features. The full-sequence path below does — at the 29-frame
+# reasoning trajectory the last decoder stage alone is a 5 GB bf16 feature
+# map and the decode cannot fit one v5e chip at ANY DiT depth (r4 bench).
+# TPU-first equivalent: chunk the latent frames and thread an explicit
+# cache pytree — every temporal op is causal, and a zero-initialized cache
+# IS the causal zero left-pad, so chunked == full-sequence exactly (test:
+# tests/test_vae.py::test_streamed_decode_matches_full). Chunks 1..N-1 have
+# identical shapes and run under one lax.scan, so the traced program stays
+# one chunk wide and XLA's liveness keeps peak memory at one chunk's
+# features + the caches.
+
+def _conv_stream(p: Params, x: jnp.ndarray, cache):
+    """Chunked causal conv. ``cache`` holds the last kt-1 input frames
+    (None on the first chunk = the causal zero pad). kt==1 convs are
+    frame-local and carry no cache."""
+    kt = p["kernel"].shape[0]
+    if kt == 1:
+        return causal_conv3d(p, x), None
+    if cache is None:
+        out = causal_conv3d(p, x)  # zero left-pad
+        xin = jnp.concatenate(
+            [jnp.zeros_like(x[:, :1]).repeat(kt - 1, axis=1), x], axis=1)
+    else:
+        xin = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+        out = causal_conv3d(p, xin, time_pad=0)
+    return out, xin[:, x.shape[1]:]  # last kt-1 input frames
+
+
+def _res_block_stream(p: Params, x: jnp.ndarray, c):
+    c = c or {}
+    h, c1 = _conv_stream(p["conv1"], jax.nn.silu(_rms(p["norm1"], x)),
+                         c.get("conv1"))
+    h, c2 = _conv_stream(p["conv2"], jax.nn.silu(_rms(p["norm2"], h)),
+                         c.get("conv2"))
+    s = causal_conv3d(p["shortcut"], x) if "shortcut" in p else x  # kt=1
+    return h + s, {"conv1": c1, "conv2": c2}
+
+
+def _temporal_up_stream(p: Params, x: jnp.ndarray, cache):
+    """Chunked :func:`_temporal_up`. The conv consumes the frame-0-masked
+    stream; globally position 0 (the all-zero window) is dropped and frame
+    0 passes through as identity — on the first chunk (cache None) both
+    specials apply, later chunks are plain cached windows."""
+    b, t, h, w, cch = x.shape
+    first = cache is None
+    masked = (jnp.concatenate([jnp.zeros_like(x[:, :1]), x[:, 1:]], axis=1)
+              if first else x)
+    if first:
+        xin = jnp.concatenate(
+            [jnp.zeros_like(x[:, :1]).repeat(2, axis=1), masked], axis=1)
+    else:
+        xin = jnp.concatenate([cache.astype(x.dtype), masked], axis=1)
+    y = causal_conv3d(p, xin, time_pad=0)  # (B, t, H, W, 2C)
+    if first:
+        y = y[:, 1:]  # global position 0: all-zero window, dropped
+    m = y.shape[1]
+    y = y.reshape(b, m, h, w, 2, cch).transpose(0, 1, 4, 2, 3, 5)
+    y = y.reshape(b, 2 * m, h, w, cch)
+    if first:
+        y = jnp.concatenate([x[:, :1], y], axis=1)  # frame 0 identity
+    return y, xin[:, t:]
+
+
+def _decoder_stream(p: Params, z: jnp.ndarray, cache):
+    """One chunk through the decoder; returns (pixels, new cache pytree).
+    ``cache=None`` marks the first chunk (must contain global frame 0)."""
+    c = dict(cache) if cache else {}
+    first = cache is None
+
+    def get(k):
+        return None if first else c.get(k)
+
+    h, c["conv_in"] = _conv_stream(p["conv_in"], z, get("conv_in"))
+    h, c["mid_res1"] = _res_block_stream(p["mid"]["res1"], h, get("mid_res1"))
+    h = _attn_block(p["mid"]["attn"], h)  # kt=1 convs, frame-local
+    h, c["mid_res2"] = _res_block_stream(p["mid"]["res2"], h, get("mid_res2"))
+    for i, stage in enumerate(p["stages"]):
+        for j, blk in enumerate(stage["blocks"]):
+            h, c[f"s{i}b{j}"] = _res_block_stream(blk, h, get(f"s{i}b{j}"))
+        if "up" in stage:
+            if "time_up" in stage:
+                h, c[f"s{i}tu"] = _temporal_up_stream(stage["time_up"], h,
+                                                      get(f"s{i}tu"))
+            h = _spatial_up(stage["up"], h)
+    h = jax.nn.silu(_rms(p["head_norm"], h))
+    h, c["head"] = _conv_stream(p["head_conv"], h, get("head"))
+    return h, c
+
+
 def vae_decode(params: Params, cfg: VAEConfig, latents: jnp.ndarray,
-               normalize: bool = True, mesh=None) -> jnp.ndarray:
-    """Decode normalized latents -> pixels (B, 3, (Tl-1)*4+1, H*8, W*8)."""
+               normalize: bool = True, mesh=None,
+               streaming: bool | None = None) -> jnp.ndarray:
+    """Decode normalized latents -> pixels (B, 3, (Tl-1)*4+1, H*8, W*8).
+
+    ``streaming=None`` auto-selects: full-sequence for short clips (the
+    2-latent-frame edit decode), chunked streaming beyond (temporal-
+    reasoning trajectories) — bitwise-equal paths, different peak memory.
+    """
     z = _to_tlast(latents).astype(cfg.dtype)
     z = _spatial_shard(z, mesh)
     if normalize and cfg.z_dim == WAN_LATENT_MEAN.size:
         mean = jnp.asarray(WAN_LATENT_MEAN, z.dtype)
         std = jnp.asarray(WAN_LATENT_STD, z.dtype)
         z = z * std + mean
-    z = causal_conv3d(params["post_quant_conv"], z)
-    return _to_cfirst(_decoder(params["decoder"], z))
+    z = causal_conv3d(params["post_quant_conv"], z)  # kt=1, frame-local
+
+    tl = z.shape[1]
+    if streaming is None:
+        streaming = tl > 2
+    if not streaming or tl == 1:
+        return _to_cfirst(_decoder(params["decoder"], z))
+
+    # chunk 0 primes the caches; chunks 1.. are shape-identical and run
+    # under one scan (each: 1 latent frame -> temporal_factor px frames)
+    out0, cache = _decoder_stream(params["decoder"], z[:, :1], None)
+
+    def step(cache, z_frame):
+        out, cache = _decoder_stream(params["decoder"], z_frame, cache)
+        return cache, out
+
+    # xs: (B, tl-1, H, W, C) -> (tl-1, B, 1, H, W, C)
+    _, outs = jax.lax.scan(step, cache, jnp.moveaxis(z[:, 1:, None], 1, 0))
+    # outs: (tl-1, B, factor, H, W, 3) -> (B, (tl-1)*factor, H, W, 3)
+    t_rest = outs.shape[0] * outs.shape[2]
+    outs = jnp.moveaxis(outs, 0, 1).reshape(z.shape[0], t_rest,
+                                            *outs.shape[3:])
+    return _to_cfirst(jnp.concatenate([out0, outs], axis=1))

@@ -117,3 +117,46 @@ def test_chunked_encode_equals_full(tiny_vae):
     z_head = vae_lib.vae_encode(tiny_vae, TINY, x[:, :, :3], normalize=False)
     np.testing.assert_allclose(np.asarray(z_full[:, :, :2]), np.asarray(z_head),
                                atol=1e-5)
+
+
+def test_streamed_decode_matches_full(tiny_vae):
+    """round-4: chunked streaming decode (explicit per-conv caches, chunk 0
+    primes, scan over the rest) must EXACTLY equal the full-sequence decode
+    — a zero-initialized cache IS the causal zero left-pad. This is the
+    path that makes the 29-frame reasoning decode fit one chip (the
+    full-sequence decoder materializes multi-GB feature maps there)."""
+    z = jax.random.normal(jax.random.PRNGKey(9), (1, TINY.z_dim, 5, 4, 4))
+    full = vae_lib.vae_decode(tiny_vae, TINY, z, normalize=False,
+                              streaming=False)
+    streamed = vae_lib.vae_decode(tiny_vae, TINY, z, normalize=False,
+                                  streaming=True)
+    assert streamed.shape == full.shape
+    np.testing.assert_allclose(np.asarray(streamed, np.float32),
+                               np.asarray(full, np.float32),
+                               atol=2e-5, rtol=2e-5)
+    # auto mode picks streaming for long clips and full for the edit clip
+    auto = vae_lib.vae_decode(tiny_vae, TINY, z, normalize=False)
+    np.testing.assert_allclose(np.asarray(auto, np.float32),
+                               np.asarray(full, np.float32),
+                               atol=2e-5, rtol=2e-5)
+    z2 = z[:, :, :2]
+    np.testing.assert_allclose(
+        np.asarray(vae_lib.vae_decode(tiny_vae, TINY, z2, normalize=False),
+                   np.float32),
+        np.asarray(vae_lib.vae_decode(tiny_vae, TINY, z2, normalize=False,
+                                      streaming=True), np.float32),
+        atol=2e-5, rtol=2e-5)
+
+
+def test_streamed_decode_under_jit(tiny_vae):
+    """The streamed decode must trace cleanly inside an outer jit (the
+    pipeline's dual decode calls it from the jitted run)."""
+    z = jax.random.normal(jax.random.PRNGKey(10), (1, TINY.z_dim, 3, 4, 4))
+    f = jax.jit(lambda z: vae_lib.vae_decode(tiny_vae, TINY, z,
+                                             normalize=False, streaming=True))
+    out = f(z)
+    ref = vae_lib.vae_decode(tiny_vae, TINY, z, normalize=False,
+                             streaming=False)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-5, rtol=2e-5)

@@ -377,18 +377,50 @@ def _spatial_shard(x: jnp.ndarray, mesh) -> jnp.ndarray:
 
 
 def vae_encode(params: Params, cfg: VAEConfig, video: jnp.ndarray,
-               normalize: bool = True, mesh=None) -> jnp.ndarray:
+               normalize: bool = True, mesh=None,
+               streaming: bool | None = None) -> jnp.ndarray:
     """Encode pixels in [-1, 1] -> normalized 16ch latents.
 
     Args:
       video: (B, 3, T, H, W) with T = 4k+1.
       mesh: optional device mesh; spatial (H) sharding is applied across its
         model-parallel axes.
+      streaming: ``None`` auto-selects — full-sequence for the 5-frame edit
+        clip, chunked 1+4-frame streaming beyond (the 29-frame reasoning
+        conditioning volume: full-sequence front-stage feature maps are
+        ~5 GB bf16 *each* at 720p and the program cannot fit one v5e chip;
+        bitwise-equal paths, see ``test_streamed_encode_matches_full``).
     Returns: (B, 16, 1+(T-1)//4, H/8, W/8).
     """
     x = _to_tlast(video).astype(cfg.dtype)
     x = _spatial_shard(x, mesh)
-    moments = causal_conv3d(params["quant_conv"], _encoder(params["encoder"], x))
+    t = x.shape[1]
+    if streaming is None:
+        streaming = t > 5
+    if not streaming or t == 1:
+        moments = _encoder(params["encoder"], x)
+    else:
+        tfac = cfg.temporal_factor
+        if (t - 1) % tfac:
+            raise ValueError(f"streamed encode needs T = 1 + {tfac}k, got {t}")
+        # chunk 0 (pixel frame 0) primes the caches; chunks 1.. are
+        # shape-identical (tfac pixel frames -> 1 latent frame) and run
+        # under one scan, so peak memory is one chunk's features + caches
+        enc = params["encoder"]
+        out0, cache = _encoder_stream(enc, x[:, :1], None)
+        chunks = x[:, 1:].reshape(x.shape[0], (t - 1) // tfac, tfac,
+                                  *x.shape[2:])
+
+        def step(cache, xc):
+            out, cache = _encoder_stream(enc, xc, cache)
+            return cache, out
+
+        _, outs = jax.lax.scan(step, cache, jnp.moveaxis(chunks, 1, 0))
+        # outs: (n, B, 1, hl, wl, C) -> (B, n, hl, wl, C)
+        outs = jnp.moveaxis(outs, 0, 1).reshape(
+            x.shape[0], -1, *outs.shape[3:])
+        moments = jnp.concatenate([out0, outs], axis=1)
+    moments = causal_conv3d(params["quant_conv"], moments)  # kt=1
     mu = moments[..., : cfg.z_dim]
     if normalize and cfg.z_dim == WAN_LATENT_MEAN.size:
         mean = jnp.asarray(WAN_LATENT_MEAN, mu.dtype)
@@ -462,6 +494,49 @@ def _temporal_up_stream(p: Params, x: jnp.ndarray, cache):
     if first:
         y = jnp.concatenate([x[:, :1], y], axis=1)  # frame 0 identity
     return y, xin[:, t:]
+
+
+def _temporal_down_stream(p: Params, x: jnp.ndarray, cache):
+    """Chunked :func:`_temporal_down`. The stride-2 no-pad conv's windows
+    start at even global indices (0,1,2), (2,3,4), ...; the cache holds the
+    input frames from the next window's start onward — always exactly one
+    frame under the 1+4k pixel chunking (every chunk ends on an even global
+    index), so the carry is shape-stable under ``lax.scan``."""
+    if cache is None:
+        t = x.shape[1]
+        return _temporal_down(p, x), x[:, 2 * ((t - 1) // 2):]
+    xin = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+    tc = xin.shape[1]
+    out = causal_conv3d(p, xin, stride=(2, 1, 1), time_pad=0)
+    return out, xin[:, 2 * ((tc - 1) // 2):]
+
+
+def _encoder_stream(p: Params, x: jnp.ndarray, cache):
+    """One pixel chunk through the encoder; returns (moment features, new
+    cache pytree). ``cache=None`` marks the first chunk (must contain
+    global frame 0 — the temporal-down identity frame and the causal zero
+    pads both prime on it)."""
+    c = dict(cache) if cache else {}
+    first = cache is None
+
+    def get(k):
+        return None if first else c.get(k)
+
+    h, c["conv_in"] = _conv_stream(p["conv_in"], x, get("conv_in"))
+    for i, stage in enumerate(p["stages"]):
+        for j, blk in enumerate(stage["blocks"]):
+            h, c[f"s{i}b{j}"] = _res_block_stream(blk, h, get(f"s{i}b{j}"))
+        if "down" in stage:
+            h = _spatial_down(stage["down"], h)  # frame-local
+            if "time_down" in stage:
+                h, c[f"s{i}td"] = _temporal_down_stream(
+                    stage["time_down"], h, get(f"s{i}td"))
+    h, c["mid_res1"] = _res_block_stream(p["mid"]["res1"], h, get("mid_res1"))
+    h = _attn_block(p["mid"]["attn"], h)  # kt=1 convs, frame-local
+    h, c["mid_res2"] = _res_block_stream(p["mid"]["res2"], h, get("mid_res2"))
+    h = jax.nn.silu(_rms(p["head_norm"], h))
+    h, c["head"] = _conv_stream(p["head_conv"], h, get("head"))
+    return h, c
 
 
 def _decoder_stream(p: Params, z: jnp.ndarray, cache):

@@ -160,3 +160,62 @@ def test_streamed_decode_under_jit(tiny_vae):
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_streamed_encode_matches_full(tiny_vae):
+    """round-4: chunked 1+tfac-frame streaming ENCODE must exactly equal the
+    full-sequence encode (same invariant as the decode: a zero cache IS the
+    causal left-pad; the stride-2 temporal-down windows land on even global
+    indices so a 1-frame cache carries across chunks). This is the path
+    that lets the 29-frame reasoning conditioning volume fit one chip —
+    prepare_condition encodes 29 frames at 720p and the full-sequence
+    front-stage maps are ~5 GB bf16 each."""
+    for T in (7, 9):  # 1 + 2k pixel frames for temporal factor 2
+        x = jax.random.normal(jax.random.PRNGKey(20 + T), (1, 3, T, 16, 16))
+        full = vae_lib.vae_encode(tiny_vae, TINY, x, normalize=False,
+                                  streaming=False)
+        streamed = vae_lib.vae_encode(tiny_vae, TINY, x, normalize=False,
+                                      streaming=True)
+        assert streamed.shape == full.shape
+        np.testing.assert_allclose(np.asarray(streamed, np.float32),
+                                   np.asarray(full, np.float32),
+                                   atol=2e-5, rtol=2e-5)
+    # auto mode: streams beyond the 5-frame edit clip, full at 5
+    auto = vae_lib.vae_encode(tiny_vae, TINY, x, normalize=False)
+    np.testing.assert_allclose(np.asarray(auto, np.float32),
+                               np.asarray(full, np.float32),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_streamed_encode_stacked_temporal_downs():
+    """Two stacked temporal downsamples (the real Wan geometry, factor 4):
+    the inner stage sees 2-frame chunks from the outer one and its 1-frame
+    window cache must stay shape-stable under the scan."""
+    cfg = vae_lib.VAEConfig(dim=4, z_dim=4, dim_mult=(1, 1, 2, 2),
+                            num_res_blocks=1,
+                            temporal_downsample=(False, True, True))
+    assert cfg.temporal_factor == 4
+    params = vae_lib.init_vae_params(jax.random.PRNGKey(3), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 3, 13, 16, 16))
+    full = vae_lib.vae_encode(params, cfg, x, normalize=False,
+                              streaming=False)
+    streamed = vae_lib.vae_encode(params, cfg, x, normalize=False,
+                                  streaming=True)
+    assert streamed.shape == full.shape
+    np.testing.assert_allclose(np.asarray(streamed, np.float32),
+                               np.asarray(full, np.float32),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_streamed_encode_under_jit(tiny_vae):
+    """The streamed encode must trace cleanly inside an outer jit (the
+    pipeline's prepare_condition calls it from the jitted run)."""
+    x = jax.random.normal(jax.random.PRNGKey(21), (1, 3, 7, 16, 16))
+    f = jax.jit(lambda x: vae_lib.vae_encode(tiny_vae, TINY, x,
+                                             normalize=False, streaming=True))
+    out = f(x)
+    ref = vae_lib.vae_encode(tiny_vae, TINY, x, normalize=False,
+                             streaming=False)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-5, rtol=2e-5)

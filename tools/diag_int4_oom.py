@@ -47,6 +47,13 @@ def main():
     ap.add_argument("--width", type=int, default=1280)
     ap.add_argument("--mode", default="int4", choices=("int4", "int8"),
                     help="quantization scheme to diagnose")
+    ap.add_argument("--reasoning", action="store_true",
+                    help="diagnose the temporal-reasoning program (29-frame "
+                         "trajectory, reasoning steps = all, dual decode)")
+    ap.add_argument("--stage", default="full",
+                    choices=("full", "denoise", "decode"),
+                    help="isolate the denoise scan (output_type=latent) or "
+                         "the VAE decode alone to localise the OOM")
     ap.add_argument("--run", action="store_true", help="execute after AOT")
     args = ap.parse_args()
 
@@ -81,17 +88,31 @@ def main():
 
     # AOT-lower the same program __call__ would jit, then inspect its memory
     # plan WITHOUT executing (compile alone reveals the temp budget).
-    num_frames = cfg.resolve_num_frames(None)
+    num_frames = cfg.resolve_num_frames(None, args.reasoning)
     tl = cfg.vae.latent_frames(num_frames)
     hl = args.height // cfg.vae.spatial_factor
     wl = args.width // cfg.vae.spatial_factor
     latents = jax.random.normal(jax.random.PRNGKey(3),
                                 (1, cfg.latent_channels, tl, hl, wl),
                                 jnp.float32)
-    run = pipe._make_run(num_frames=num_frames, num_steps=cfg.num_steps,
-                         guidance=cfg.guidance_scale, shift=cfg.flow_shift,
-                         reasoning=False, k_reason=0, slg_layers=(),
-                         output_type="video")
+    if args.stage == "decode":
+        # dual decode alone, as _make_run's reasoning tail performs it
+        def run(dit_params, vae_params, image, prompt, neg, clip, final):
+            idx = jnp.array([0, final.shape[2] - 1])
+            video_edit = vae_lib.vae_decode(vae_params, cfg.vae,
+                                            final[:, :, idx])
+            video_reason = vae_lib.vae_decode(vae_params, cfg.vae,
+                                              final[:, :, :-1])
+            return jnp.concatenate([video_reason, video_edit[:, :, 1:]],
+                                   axis=2)
+    else:
+        run = pipe._make_run(
+            num_frames=num_frames, num_steps=cfg.num_steps,
+            guidance=cfg.guidance_scale, shift=cfg.flow_shift,
+            reasoning=args.reasoning,
+            k_reason=cfg.num_steps if args.reasoning else 0,
+            slg_layers=(),
+            output_type="latent" if args.stage == "denoise" else "video")
     lowered = jax.jit(run).lower(dit_params, vae_params, image, prompt,
                                  None, clip, latents)
     print("[lowered] compiling...", flush=True)

@@ -104,7 +104,15 @@ def quantize_linear_params_int4(p: Params, group: int = INT4_GROUP) -> Params:
 
     ``kernel_q4``: (in_pad/2, out) int8, low nibble = row i, high nibble =
     row i + in_pad/2. ``kernel_scale4``: (g, out) float32, g = in_pad/group
-    (always even). Zero-padded rows quantize to 0 and contribute nothing."""
+    (always even). Zero-padded rows quantize to 0 and contribute nothing.
+
+    Negative result (round 4): per-group MSE-optimal *clip search* (scales
+    absmax*c/7 over c in [0.7, 1.0], running argmin — the standard
+    weight-only int4 trick) measurably LOWERS end-to-end pipeline quality
+    here despite lowering per-group weight MSE: 27.0 dB (absmax) vs
+    24.9–25.2 dB for every clipped candidate set on the pipeline PSNR gate.
+    The clipped outliers are exactly the weights that carry signal through
+    the 40-block cascade (the AWQ observation). Keep plain absmax."""
     k = p["kernel"].astype(jnp.float32)
     din, dout = k.shape
     g = -(-din // group)

@@ -39,3 +39,28 @@ def test_sharded_vae_indivisible_h_falls_back():
         z = vae_lib.vae_encode(params, TINY, x, normalize=False, mesh=mesh)
     ref = vae_lib.vae_encode(params, TINY, x, normalize=False)
     np.testing.assert_allclose(np.asarray(z), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_sharded_streamed_encode_decode_match():
+    """The STREAMED paths (r4: chunked encode/decode scans with per-conv
+    cache carries) must also survive GSPMD spatial sharding — the reasoning
+    pipeline runs them under the deployment mesh, where the scan carry and
+    the halo exchanges compose."""
+    params = vae_lib.init_vae_params(jax.random.PRNGKey(0), TINY)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 7, 32, 32))
+    ref_z = vae_lib.vae_encode(params, TINY, x, normalize=False,
+                               streaming=False)
+    ref_y = vae_lib.vae_decode(params, TINY, ref_z, normalize=False,
+                               streaming=False)
+
+    mesh = make_mesh(MeshConfig(data=1, context=4, tensor=2))
+    with mesh:
+        enc = jax.jit(lambda p, v: vae_lib.vae_encode(
+            p, TINY, v, normalize=False, mesh=mesh, streaming=True))
+        dec = jax.jit(lambda p, z: vae_lib.vae_decode(
+            p, TINY, z, normalize=False, mesh=mesh, streaming=True))
+        z = enc(params, x)
+        y = dec(params, z)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(ref_z), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y), atol=2e-5)

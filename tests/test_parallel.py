@@ -129,3 +129,25 @@ def test_flash_kernel_interpret_matches_xla():
         g2 = jax.grad(lambda a: jnp.sum(
             dot_product_attention(a, k, v, backend="xla") ** 2))(q)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)
+
+
+@pytest.mark.slow
+def test_flash_streamed_diet_matches_xla(monkeypatch):
+    """The streamed-KV kernel's VPU diet (q-prescale + additive 0/-inf pad
+    mask, round 4) must match XLA and the non-diet kernel exactly in fp32 —
+    including a ragged final KV block where the additive mask carries the
+    padding. Residency is monkeypatched down to force the streamed path at
+    test-sized shapes."""
+    from chronoedit_tpu.ops import flash_attention as fa
+
+    monkeypatch.setattr(fa, "_RESIDENT_KV_BYTES", 1)
+    s = 384  # pads to 512 at block 128 -> masked streamed blocks
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q, k, v = [jax.random.normal(kk, (1, s, 2, 128), jnp.float32)
+               for kk in ks]
+    ref = dot_product_attention(q, k, v, backend="xla")
+    for diet in (True, False):
+        got = fa.flash_attention(q, k, v, scale=128 ** -0.5, block_q=128,
+                                 block_kv=128, diet=diet)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, err_msg=f"diet={diet}")

@@ -51,9 +51,10 @@ def main():
                     help="diagnose the temporal-reasoning program (29-frame "
                          "trajectory, reasoning steps = all, dual decode)")
     ap.add_argument("--stage", default="full",
-                    choices=("full", "denoise", "decode"),
-                    help="isolate the denoise scan (output_type=latent) or "
-                         "the VAE decode alone to localise the OOM")
+                    choices=("full", "denoise", "decode", "encode"),
+                    help="isolate the denoise scan (output_type=latent), "
+                         "the VAE decode, or the conditioning encode alone "
+                         "to localise the OOM")
     ap.add_argument("--run", action="store_true", help="execute after AOT")
     args = ap.parse_args()
 
@@ -95,7 +96,12 @@ def main():
     latents = jax.random.normal(jax.random.PRNGKey(3),
                                 (1, cfg.latent_channels, tl, hl, wl),
                                 jnp.float32)
-    if args.stage == "decode":
+    if args.stage == "encode":
+        from chronoedit_tpu.pipeline.edit_pipeline import prepare_condition
+
+        def run(dit_params, vae_params, image, prompt, neg, clip, latents):
+            return prepare_condition(vae_params, cfg, image, num_frames)
+    elif args.stage == "decode":
         # dual decode alone, as _make_run's reasoning tail performs it
         def run(dit_params, vae_params, image, prompt, neg, clip, final):
             idx = jnp.array([0, final.shape[2] - 1])

@@ -79,13 +79,64 @@ def sweep(B, S, H=40, D=128, iters=5):
           flush=True)
 
 
+def diet_ab(B, S, H=40, D=128, iters=8, reps=20):
+    """A/B the round-4 VPU diet (q-prescale + additive pad mask) at the
+    production block sizes, using in-graph scan repetition to defeat the
+    ~30-40 ms tunnel readback jitter (memory: timing discipline)."""
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, S, H, D), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (B, S, H, D), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (B, S, H, D), jnp.bfloat16)
+    scale = D ** -0.5
+    flops = 4 * B * H * S * S * D
+    print(f"== diet A/B: B={B} S={S}", flush=True)
+
+    def timed(diet, n):
+        # k/v must be jit ARGUMENTS: closing over them embeds 100+ MB
+        # constants in the HLO and the compile tunnel rejects the payload.
+        # The scalar float() readback is what forces execution on the
+        # tunneled runtime (block_until_ready alone does NOT); the carry
+        # perturbation defeats CSE across scan iterations.
+        @jax.jit
+        def run(q, k, v):
+            def body(c, _):
+                o = flash_attention(c, k, v, scale=scale, diet=diet)
+                return c + 1e-6, jnp.sum(o.astype(jnp.float32))
+
+            return jnp.sum(jax.lax.scan(body, q, None, length=n)[1])
+
+        for _ in range(2):
+            s = float(run(q, k, v))  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s = float(run(q, k, v))
+        assert s == s
+        return (time.perf_counter() - t0) / iters
+
+    for diet in (False, True):
+        t_long = timed(diet, reps)
+        t_short = timed(diet, reps // 2)
+        dt = (t_long - t_short) / (reps - reps // 2)
+        print(f"diet={diet}: {dt * 1e3:7.2f} ms/call "
+              f"({flops / dt / 1e12:6.1f} TFLOP/s)", flush=True)
+
+
 def main():
     import argparse
 
     p = argparse.ArgumentParser()
     p.add_argument("--shapes", default="edit",
                    choices=["edit", "reasoning", "both"])
+    p.add_argument("--diet-ab", action="store_true",
+                   help="A/B the VPU-diet kernel variant instead of the "
+                        "block sweep")
     a = p.parse_args()
+    if a.diet_ab:
+        if a.shapes in ("edit", "both"):
+            diet_ab(2, 7200)
+        if a.shapes in ("reasoning", "both"):
+            diet_ab(2, 28800, iters=3, reps=8)
+        return
     if a.shapes in ("edit", "both"):
         sweep(2, 7200)
     if a.shapes in ("reasoning", "both"):

@@ -127,7 +127,10 @@ def _remaining() -> float:
 _HEADLINE_FIELDS = (
     "e2e_measured_s_1chip_40layer_int4",
     "e2e_measured_s_1chip_40layer_int4_blockcache",
+    "e2e_measured_s_1chip_40layer_int4a8",
+    "e2e_measured_s_1chip_40layer_int4a8_blockcache",
     "est_edits_per_s_v5e8_int4_cached_replicated",
+    "est_edits_per_s_v5e8_int4a8_cached_replicated",
     "e2e_measured_s_1chip_int8",
     "e2e_measured_int8_layers",
     "e2e_measured_s_1chip_int8_blockcache",
@@ -198,7 +201,11 @@ def _code_hash() -> str:
     h = hashlib.sha256()
     for rel in ("chronoedit_tpu/ops/quant.py", "chronoedit_tpu/models/dit.py",
                 "chronoedit_tpu/pipeline/edit_pipeline.py",
-                "chronoedit_tpu/models/vae.py"):
+                "chronoedit_tpu/models/vae.py",
+                # the kernels compiled into those programs bill VMEM/HBM too
+                "chronoedit_tpu/ops/flash_attention.py",
+                "chronoedit_tpu/ops/fused_norms.py",
+                "chronoedit_tpu/ops/int4_matmul.py"):
         try:
             with open(os.path.join(_HERE, rel), "rb") as f:
                 h.update(f.read())
@@ -578,32 +585,37 @@ def bench_e2e_reasoning_deepest(cache: bool = False) -> dict | None:
     return None
 
 
-def bench_e2e_int4_full() -> dict | None:
-    """Measured FULL-DEPTH (40-layer) single-chip e2e via the w4a16 grouped
-    int4 path (ops/quant.py): ~9.1 GB of weights, so the whole 14B model
+def bench_e2e_int4_full(mode: str = "int4") -> dict | None:
+    """Measured FULL-DEPTH (40-layer) single-chip e2e via the grouped int4
+    storage path (ops/quant.py): ~9.1 GB of weights, so the whole 14B model
     fits ONE v5e chip and the flagship depth is measured, not extrapolated.
-    Quality is gated by tests/test_quant.py::test_int4_pipeline_psnr_gate.
-    Feasibility result persists to bench_cache.json like the int8 probe."""
+    ``mode="int4"`` is w4a16 (bf16 compute); ``mode="int4_a8"`` requantizes
+    per layer to per-column int8 and rides the MXU double-rate int8 matmul
+    — same capacity, ~w8a8 speed. Quality gates:
+    tests/test_quant.py::test_int4_pipeline_psnr_gate resp.
+    test_int4_a8_pipeline_psnr_gate. Feasibility persists to
+    bench_cache.json like the int8 probe."""
     global _CACHE_DIRTY
-    hist = _feasibility_entry("int4_e2e_40")
+    cache_key = {"int4": "int4_e2e_40", "int4_a8": "int4a8_e2e_40"}[mode]
+    hist = _feasibility_entry(cache_key)
     if hist.get("infeasible"):
-        print("[bench] cached: int4 40-layer e2e infeasible at this code "
+        print(f"[bench] cached: {mode} 40-layer e2e infeasible at this code "
               "version", file=sys.stderr)
         return None
     failure = None
     try:
-        return bench_e2e_pipeline_s(layers=40, quantize="int4")
+        return bench_e2e_pipeline_s(layers=40, quantize=mode)
     except Exception as e:
         failure = (("RESOURCE_EXHAUSTED" in str(e)
                     or "remote_compile" in str(e)),
                    type(e).__name__, str(e)[:300])
     _release_device_memory()  # outside except: see stage()
     oomish, ename, emsg = failure
-    print(f"[bench] int4 40-layer e2e failed "
+    print(f"[bench] {mode} 40-layer e2e failed "
           f"({'OOM-ish' if oomish else ename}): {emsg}", file=sys.stderr)
     if oomish:
         hist["infeasible"] = True
-        _CACHE["int4_e2e_40"] = hist
+        _CACHE[cache_key] = hist
         _CACHE_DIRTY = True
     return None
 
@@ -749,6 +761,9 @@ def _assemble(partial: dict) -> dict:
     e2e_int8_c = partial.get("e2e_int8_cached")
     e2e_int4 = partial.get("e2e_int4_40")
     e2e_int4_c = partial.get("e2e_int4_40_cached")
+    e2e_int4a8 = partial.get("e2e_int4a8_40")
+    e2e_int4a8_c = partial.get("e2e_int4a8_40_cached")
+    dit1_q4a8 = partial.get("dit1_q4a8")
     e2e_int4_8 = partial.get("e2e_int4_8")
     e2e_reason = partial.get("e2e_reason")
     e2e_reason_c = partial.get("e2e_reason_cached")
@@ -881,6 +896,19 @@ def _assemble(partial: dict) -> dict:
             e2e_int4_c and e2e_int4_c["measured_s"], 3),
         "est_edits_per_s_v5e8_int4_cached_replicated": r(
             e2e_int4_c and N_CHIPS_TARGET / e2e_int4_c["measured_s"], 3),
+        # w4a8 (round 4): int4 storage, per-column-int8 requantized compute
+        # — full depth on one chip at ~w8a8 block speed (quality gate:
+        # tests/test_quant.py::test_int4_a8_pipeline_psnr_gate)
+        "e2e_measured_s_1chip_40layer_int4a8": r(
+            e2e_int4a8 and e2e_int4a8["measured_s"], 3),
+        "e2e_measured_s_1chip_40layer_int4a8_blockcache": r(
+            e2e_int4a8_c and e2e_int4a8_c["measured_s"], 3),
+        "est_edits_per_s_v5e8_int4a8_replicated": r(
+            e2e_int4a8 and N_CHIPS_TARGET / e2e_int4a8["measured_s"], 3),
+        "est_edits_per_s_v5e8_int4a8_cached_replicated": r(
+            e2e_int4a8_c and N_CHIPS_TARGET / e2e_int4a8_c["measured_s"], 3),
+        "dit_block_s_1chip_b1_int4a8": r(
+            dit1_q4a8 and dit1_q4a8["per_block_s"], 5),
         # extrapolation-model calibration (VERDICT r3 #3): full-depth int4
         # prediction from the shallow int4 e2e + per-block scaling, and the
         # measured/predicted ratio (1.0 = the scaling model is exact)
@@ -1051,6 +1079,18 @@ def main():
             "e2e_int4_40_cached", bench_e2e_pipeline_s, layers=40,
             quantize="int4", cache=((8, 32), 2), min_remaining=480)
     _release_device_memory()
+    # w4a8 (round 4): int4 storage requantized per layer to per-column int8
+    # compute — the full 40-layer model on one chip at ~w8a8 block speed.
+    # Expected to supersede w4a16 as the single-chip flagship.
+    PARTIAL["e2e_int4a8_40"] = stage(
+        "e2e_int4a8_40", bench_e2e_int4_full, mode="int4_a8",
+        min_remaining=480)
+    _release_device_memory()
+    if PARTIAL.get("e2e_int4a8_40"):
+        PARTIAL["e2e_int4a8_40_cached"] = stage(
+            "e2e_int4a8_40_cached", bench_e2e_pipeline_s, layers=40,
+            quantize="int4_a8", cache=((8, 32), 2), min_remaining=420)
+    _release_device_memory()
     # measured accelerated reasoning (VERDICT r3 #4): the 28.8k-token
     # trajectory e2e with int8 projections, then the same depth with the
     # Δ-DiT block cache — the cached/uncached delta calibrates the 50-step
@@ -1067,6 +1107,8 @@ def main():
     # the way every extrapolated field is produced, and report the ratio
     PARTIAL["dit1_q4"] = stage("dit1_q4", bench_dit_block_ms, batch=1,
                                quantize="int4", min_remaining=360)
+    PARTIAL["dit1_q4a8"] = stage("dit1_q4a8", bench_dit_block_ms, batch=1,
+                                 quantize="int4_a8", min_remaining=330)
     if PARTIAL.get("e2e_int4_40"):
         PARTIAL["e2e_int4_8"] = stage(
             "e2e_int4_8", bench_e2e_pipeline_s, layers=8, quantize="int4",

@@ -26,6 +26,7 @@ in expectation only — validated to ~1% relative error on random weights in
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -98,13 +99,25 @@ def is_quantized(p: Params) -> bool:
 INT4_GROUP = 128
 
 
-def quantize_linear_params_int4(p: Params, group: int = INT4_GROUP) -> Params:
+def quantize_linear_params_int4(p: Params, group: int = INT4_GROUP,
+                                act8: bool = False) -> Params:
     """{"kernel": (in, out) float, "bias"?} -> packed int4 kernel with
     per-(group, out-channel) scales.
 
     ``kernel_q4``: (in_pad/2, out) int8, low nibble = row i, high nibble =
     row i + in_pad/2. ``kernel_scale4``: (g, out) float32, g = in_pad/group
     (always even). Zero-padded rows quantize to 0 and contribute nothing.
+
+    ``act8`` (w4a8, round 4): additionally store ``kernel_scale8`` — the
+    per-out-channel int8 scale ``t = max_g(scale) * 7/127`` — whose presence
+    switches :func:`quantized_linear_int4` to the int8-compute path: the
+    int4 weights are requantized per layer to per-column int8
+    (``q8 = rint(q4 * scale/t)``, exact bound |q8| <= 127) and the matmul
+    runs s8 x s8 -> s32 on the MXU's double-rate path with dynamic
+    per-token activation quantization, exactly like the w8a8 scheme. int4
+    storage (capacity) at ~int8 speed; the requantization error t/2 is
+    18x below the largest group's own int4 step, so quality is carried by
+    the int4 quantization, gated by the same pipeline PSNR test.
 
     Negative result (round 4): per-group MSE-optimal *clip search* (scales
     absmax*c/7 over c in [0.7, 1.0], running argmin — the standard
@@ -128,6 +141,8 @@ def quantize_linear_params_int4(p: Params, group: int = INT4_GROUP) -> Params:
     packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0x0F),
                             jnp.left_shift(hi, 4)).astype(jnp.int8)
     out = {"kernel_q4": packed, "kernel_scale4": scale}
+    if act8:
+        out["kernel_scale8"] = jnp.max(scale, axis=0) * (7.0 / 127.0)  # (out,)
     if "bias" in p:
         out["bias"] = p["bias"]
     return out
@@ -163,6 +178,9 @@ def quantized_linear_int4(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     if 2 * half != din:  # in-dim was padded to an even group multiple
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, 2 * half - din)])
 
+    if "kernel_scale8" in p:  # w4a8: requantize to per-column int8 compute
+        return _int4_apply_a8(p, x)
+
     if int4_matmul_supported(x, p["kernel_q4"]):
         y = int4_matmul(x, p["kernel_q4"], p["kernel_scale4"])
     else:
@@ -185,6 +203,46 @@ def quantized_linear_int4(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
+
+
+def _int4_apply_a8(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """w4a8 apply: int4-stored weights requantized per layer to per-column
+    int8, dynamic per-token int8 activations, s8 x s8 -> s32 MXU matmul.
+
+    The requant factor f = scale4/scale8 is bounded by 127/7 exactly, so
+    rint(q4 * f) never exceeds the int8 range (clip guards float rounding).
+    The int8 weight temp is HALF the bytes of the w4a16 path's bf16 dequant
+    temp, and the optimization_barrier pins it per scan step as before."""
+    packed, scale, t = jax.lax.optimization_barrier(
+        (p["kernel_q4"], p["kernel_scale4"], p["kernel_scale8"]))
+    half, dout = packed.shape
+    g = scale.shape[0]
+    group = 2 * half // g
+    f = scale / t  # (g, out) fp32, <= 127/7
+
+    def rq(q_half, f_half):
+        w = q_half.reshape(g // 2, group, dout).astype(jnp.float32)
+        w = jnp.clip(jnp.round(w * f_half[:, None, :]), -127, 127)
+        return w.astype(jnp.int8).reshape(half, dout)
+
+    lo, hi = _unpack_int4(packed)
+    w8_lo, w8_hi = rq(lo, f[: g // 2]), rq(hi, f[g // 2:])
+
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xs = jnp.maximum(amax, _EPS) / 127.0  # per-token scale
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((a.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    acc = mm(xq[..., :half], w8_lo) + mm(xq[..., half:], w8_hi)
+    y = acc.astype(jnp.float32) * xs * t
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
 # DiT block linears worth quantizing: the per-token projections. The tiny
@@ -222,10 +280,15 @@ def quantize_dit_params(params: Params,
     rather than per-layer granularity: the scan over weight-stacked blocks
     needs a homogeneous pytree across layers, so a projection is either
     quantized in every layer or bf16 in every layer."""
-    if mode not in ("int8", "int4"):
+    if mode not in ("int8", "int4", "int4_a8"):
         raise ValueError(f"unknown quantization mode {mode!r}")
     targets = _BLOCK_LINEARS if mode == "int8" else _BLOCK_LINEARS_INT4
-    qfn = quantize_linear_params if mode == "int8" else quantize_linear_params_int4
+    if mode == "int8":
+        qfn = quantize_linear_params
+    elif mode == "int4":
+        qfn = quantize_linear_params_int4
+    else:  # int4_a8: int4 storage, per-column-int8 requantized compute
+        qfn = functools.partial(quantize_linear_params_int4, act8=True)
     out = dict(params)
     blocks = {k: (dict(v) if isinstance(v, dict) else v)
               for k, v in params["blocks"].items()}

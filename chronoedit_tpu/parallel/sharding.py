@@ -78,6 +78,11 @@ def dit_param_sharding(
         is_scale = sub.endswith("/kernel_scale")
         if is_scale:
             norm = sub[: -len("_scale")].replace("/kernel", "/bias")
+        # w4a8's kernel_scale8 is a per-out-channel (L, out) vector exactly
+        # like a bias — column-split shards out, row-split leaves it whole
+        if sub.endswith("/kernel_scale8"):
+            norm = sub[: -len("_scale8")].replace("/kernel", "/bias")
+            is_scale = True
         # int4 leaves: kernel_q4 is (L, in_pad/2, out) split-half packed
         # (r4 layout, ops/quant.py) — col-split shards the out axis,
         # row-split shards the packed in axis (GSPMD-correct; the dequant's

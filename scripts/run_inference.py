@@ -42,11 +42,12 @@ def parse_args():
     p.add_argument("--mesh", type=str, default=None,
                    help="parallelism spec, e.g. 'tensor=8' or 'fsdp=4,context=2'")
     p.add_argument("--quantize", nargs="?", const="int8", default=None,
-                   choices=("int8", "int4"),
+                   choices=("int8", "int4", "int4_a8"),
                    help="quantize DiT projections: 'int8' (w8a8 serving "
-                        "accel; also the bare-flag default) or 'int4' "
-                        "(w4a16 — the full 14B model fits ONE v5e chip; "
-                        "docs/SERVING.md)")
+                        "accel; also the bare-flag default), 'int4' "
+                        "(w4a16 — the full 14B model fits ONE v5e chip), or "
+                        "'int4_a8' (int4 storage + int8 compute: single-chip "
+                        "capacity at ~w8a8 speed; docs/SERVING.md)")
     p.add_argument("--cache-thresh", type=float, default=None,
                    help="adaptive block-cache refresh: refresh blocks [A,B) "
                         "when the latents' accumulated relative change since "

@@ -61,7 +61,7 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint-dir", type=str, default=None)
     p.add_argument("--mesh", type=str, default=None)
     p.add_argument("--quantize", nargs="?", const="int8", default=None,
-                   choices=("int8", "int4"))
+                   choices=("int8", "int4", "int4_a8"))
     p.add_argument("--cache-blocks", type=str, default=None)
     p.add_argument("--cache-thresh", type=float, default=None,
                    help="adaptive block-cache refresh threshold "

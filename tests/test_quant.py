@@ -91,6 +91,44 @@ def test_int4_linear_matches_dequantized_matmul():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_int4_a8_requant_bounds_and_linear_close():
+    """w4a8 (int4 storage, per-column-int8 requantized compute): the
+    requantized int8 weights must satisfy |t*q8 - s*q4| <= t/2 elementwise
+    (the requant grid is per-column t), never exceed the int8 range, and
+    the linear output must track the w4a16 path within the activation-quant
+    error envelope (~1% relative, same as the w8a8 path)."""
+    from chronoedit_tpu.ops.quant import (
+        _unpack_int4, quantize_linear_params_int4, quantized_linear_int4)
+
+    rng = np.random.default_rng(11)
+    p = {"kernel": jnp.asarray(rng.normal(size=(200, 32)), jnp.float32),
+         "bias": jnp.asarray(rng.normal(size=(32,)), jnp.float32)}
+    qp = quantize_linear_params_int4(p, act8=True)
+    assert qp["kernel_scale8"].shape == (32,)
+    s = np.asarray(qp["kernel_scale4"])  # (g, out)
+    t = np.asarray(qp["kernel_scale8"])  # (out,)
+    np.testing.assert_allclose(t, s.max(axis=0) * 7 / 127, rtol=1e-6)
+
+    lo, hi = (np.asarray(a) for a in _unpack_int4(qp["kernel_q4"]))
+    q4 = np.concatenate([lo, hi], 0).astype(np.float64)  # (in_pad, out)
+    g = s.shape[0]
+    w4 = (q4.reshape(g, -1, 32) * s[:, None, :]).reshape(q4.shape)
+    q8 = np.clip(np.rint(q4.reshape(g, -1, 32) * (s / t)[:, None, :]),
+                 -127, 127).reshape(q4.shape)
+    assert np.abs(q8).max() <= 127
+    assert (np.abs(q8 * t - w4) <= t / 2 + 1e-6).all()
+
+    x = jnp.asarray(rng.normal(size=(3, 5, 200)), jnp.float32)
+    a8 = np.asarray(quantized_linear_int4(qp, x))
+    a16 = np.asarray(quantized_linear_int4(
+        quantize_linear_params_int4(p), x))
+    denom = np.abs(a16).max()
+    assert np.abs(a8 - a16).max() / denom < 0.02
+    # L.linear dispatches w4a8 through the same packed-leaf branch
+    np.testing.assert_allclose(np.asarray(L.linear(qp, x)), a8, rtol=1e-6,
+                               atol=1e-6)
+
+
 def test_int4_pallas_kernel_matches_fallback():
     """The fused Pallas dequant-matmul (ops/int4_matmul.py) must agree with
     the XLA two-half-matmul fallback bit-for-bit-ish on the same packed
@@ -326,6 +364,44 @@ def test_int4_params_shard_and_run_on_mesh():
     assert np.isfinite(np.asarray(out, np.float32)).all()
 
 
+def test_int4_a8_params_shard_and_run_on_mesh():
+    """w4a8 under TP/fsdp: kernel_scale8 is a per-out-channel vector and
+    must follow the bias rule (col-split shards out, row-split replicates);
+    the sharded forward must track the single-device one within the
+    activation-quant envelope (per-token amax is a GSPMD-global reduction,
+    so sharding must not change which scale each token gets)."""
+    from chronoedit_tpu.configs import chronoedit_tiny
+    from chronoedit_tpu.models import dit as dit_lib
+    from chronoedit_tpu.parallel import MeshConfig, make_mesh, shard_params
+    from chronoedit_tpu.parallel.sharding import dit_param_sharding
+
+    cfg = dataclasses.replace(chronoedit_tiny().dit, num_layers=2)
+    mesh = make_mesh(MeshConfig(data=1, fsdp=2, tensor=2, context=2))
+    params = quantize_dit_params(
+        dit_lib.init_dit_params(jax.random.PRNGKey(0), cfg), mode="int4_a8")
+
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    x = jax.random.normal(ks[0], (1, cfg.in_channels, 2, 8, 8), jnp.float32)
+    ts = jnp.full((1,), 500.0, jnp.float32)
+    text = jax.random.normal(ks[1], (1, 6, cfg.text_dim), jnp.float32)
+    img = jax.random.normal(ks[2], (1, cfg.image_tokens, cfg.image_dim),
+                            jnp.float32)
+    ref = np.asarray(jax.jit(
+        lambda p: dit_lib.dit_forward(p, cfg, x, ts, text, img))(params),
+        np.float32)
+
+    sharded = shard_params(params, mesh, dit_param_sharding(mesh))
+    q = sharded["blocks"]["self_attn"]["q"]
+    assert "tensor" in str(q["kernel_scale8"].sharding.spec)  # col: out split
+    fc2 = sharded["blocks"]["ffn"]["fc2"]
+    assert "tensor" not in str(fc2["kernel_scale8"].sharding.spec)  # row: full
+    with mesh:
+        got = np.asarray(jax.jit(
+            lambda p: dit_lib.dit_forward(p, cfg, x, ts, text, img,
+                                          mesh=mesh))(sharded), np.float32)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_pipeline_runs_quantized():
     from chronoedit_tpu.configs import chronoedit_tiny
     from chronoedit_tpu.models import dit as dit_lib
@@ -432,6 +508,28 @@ def test_int4_pipeline_psnr_gate():
     both = _tiny_pipe_run(quantize="int4", cache=True)
     db2 = _psnr(both, ref)
     print(f"int4+cached-vs-bf16 pipeline PSNR: {db2:.1f} dB")
+    assert db2 >= 23.0, db2
+
+
+@pytest.mark.slow
+def test_int4_a8_pipeline_psnr_gate():
+    """Quality gate for the w4a8 single-chip recipe (int4 storage +
+    per-column-int8 requantized compute): the requant grid t/2 sits 18x
+    below the largest group's own int4 step and the dynamic activation
+    int8 error matches the gated w8a8 path, so the full pipeline must hold
+    the SAME bar as w4a16 (measured 26.5 dB vs w4a16's 27.0 at tiny
+    geometry — the 0.5 dB delta is the activation quantization)."""
+    ref = _tiny_pipe_run(quantize=False)
+    q = _tiny_pipe_run(quantize="int4_a8")
+    db = _psnr(q, ref)
+    print(f"int4_a8-vs-bf16 pipeline PSNR: {db:.1f} dB")
+    assert db >= 24.0, f"w4a8 pipeline PSNR {db:.1f} dB below the 24 dB gate"
+
+    # w4a8 + Δ-cache: the fastest full-depth single-chip recipe must also
+    # clear the stacked bar
+    both = _tiny_pipe_run(quantize="int4_a8", cache=True)
+    db2 = _psnr(both, ref)
+    print(f"int4_a8+cached-vs-bf16 pipeline PSNR: {db2:.1f} dB")
     assert db2 >= 23.0, db2
 
 

@@ -46,7 +46,7 @@ def sweep(B, S, H=40, D=128, iters=5):
 
     ref = None
     for bq in (256, 512, 1024, 2048):
-        for bkv in (512, 1024, 2048):
+        for bkv in (512, 1024, 2048, 4096):
             try:
                 f = jax.jit(lambda q, k, v, bq=bq, bkv=bkv: jnp.sum(
                     flash_attention(q, k, v, scale=scale, block_q=bq,

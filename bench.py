@@ -139,6 +139,8 @@ _HEADLINE_FIELDS = (
     "est_sec_per_edit_50step_reasoning_int8",
     "e2e_measured_s_1chip_reasoning",
     "est_sec_per_edit_50step_reasoning_int8_blockcache",
+    "e2e_measured_s_1chip_reasoning_int4a8",
+    "e2e_reasoning_int4a8_layers",
     "dit_block_s_1chip_b1",
     "dit_block_s_1chip_b1_int8",
     "vae_encode_s",
@@ -527,7 +529,8 @@ def bench_e2e_int8_deepest() -> dict | None:
     return None
 
 
-def bench_e2e_reasoning_deepest(cache: bool = False) -> dict | None:
+def bench_e2e_reasoning_deepest(cache: bool = False,
+                                mode: str = "int8") -> dict | None:
     """Measured temporal-reasoning e2e on ONE chip (VERDICT r3 #4): the
     29-pixel-frame / 8-latent-frame 28.8k-token trajectory, int8
     projections, 8 distilled steps, reasoning steps = all steps (the
@@ -538,19 +541,39 @@ def bench_e2e_reasoning_deepest(cache: bool = False) -> dict | None:
     block cache at the middle-60% recipe for whatever depth the probe
     lands on (the measured accelerated reasoning recipe, docs/SERVING.md;
     the serving derivation in _assemble uses it only when it matched the
-    uncached run's depth)."""
+    uncached run's depth). ``mode="int4_a8"`` swaps the projections to w4a8
+    (int4 storage, per-column-int8 requantized compute): ~0.23 GB/layer of
+    weights vs int8's ~0.51, so the measured reasoning depth climbs — the
+    capacity lever for the activation-dominated 28.8k-token regime."""
     global _CACHE_DIRTY
+    tag = {"int8": "int8", "int4_a8": "int4a8"}[mode]
     # separate feasibility key when the cache is engaged: the delta carry
     # bills extra HBM, and an OOM there must not mark the uncached depth
     # infeasible (round-4 review)
-    key = "int8_reason_depth" + ("_cached" if cache else "")
+    key = f"{tag}_reason_depth" + ("_cached" if cache else "")
     hist = _feasibility_entry(key)
     infeasible = set(hist.get("infeasible", []))
     start = (hist.get("feasible")
-             or _feasibility_entry("int8_reason_depth").get("feasible")
-             or _feasibility_entry("int8_e2e_depth").get("feasible") or 20)
+             or _feasibility_entry(f"{tag}_reason_depth").get("feasible"))
+    if start is None:
+        int8_known = (_feasibility_entry("int8_reason_depth").get("feasible")
+                      or _feasibility_entry("int8_e2e_depth").get("feasible")
+                      or 20)
+        if mode == "int8":
+            start = int8_known
+        else:
+            # seed the w4a8 probe by weight-budget equivalence with the
+            # int8-known depth: reasoning temps are ~depth-independent
+            # (scan-carried), so the weight bytes freed by int4 storage
+            # convert directly into extra layers
+            budget = quantized_dit_bytes(int8_known, mode="int8")
+            start = int8_known
+            while (start + 4 <= 40 and
+                   quantized_dit_bytes(start + 4, mode=mode) <= budget):
+                start += 4
     for layers in range(start, 7, -4):
-        if quantized_dit_bytes(layers) > 13.2e9 or layers in infeasible:
+        if (quantized_dit_bytes(layers, mode=mode) > 13.2e9
+                or layers in infeasible):
             continue
         if _remaining() < 420:
             print(f"[bench] skipping reasoning e2e at {layers} layers "
@@ -559,7 +582,7 @@ def bench_e2e_reasoning_deepest(cache: bool = False) -> dict | None:
         failure = None
         try:
             res = bench_e2e_pipeline_s(
-                layers=layers, quantize=True, reasoning=True,
+                layers=layers, quantize=mode, reasoning=True,
                 cache=((layers // 5, layers - layers // 5), 2) if cache
                 else None)
             hist["feasible"] = layers
@@ -767,6 +790,8 @@ def _assemble(partial: dict) -> dict:
     e2e_int4_8 = partial.get("e2e_int4_8")
     e2e_reason = partial.get("e2e_reason")
     e2e_reason_c = partial.get("e2e_reason_cached")
+    e2e_reason_a8 = partial.get("e2e_reason_a8")
+    e2e_reason_a8_c = partial.get("e2e_reason_a8_cached")
 
     # VERDICT r3 #3: calibrate the depth-extrapolation model. Predict the
     # full-depth int4 e2e exactly the way the bf16 40-layer estimate is
@@ -877,6 +902,16 @@ def _assemble(partial: dict) -> dict:
             e2e_reason_c and e2e_reason_c["measured_s"], 3),
         "est_sec_per_edit_50step_reasoning_int8_blockcache": r(
             total_reason50_int8_cached, 3),
+        # w4a8 reasoning (round 4): int4 storage frees ~0.28 GB/layer of
+        # weight HBM vs int8, buying extra measured depth in the
+        # activation-dominated 28.8k-token regime (quality gate:
+        # tests/test_quant.py::test_int4_a8_pipeline_psnr_gate)
+        "e2e_measured_s_1chip_reasoning_int4a8": r(
+            e2e_reason_a8 and e2e_reason_a8["measured_s"], 3),
+        "e2e_reasoning_int4a8_layers": (
+            e2e_reason_a8 and e2e_reason_a8["layers"]),
+        "e2e_measured_s_1chip_reasoning_int4a8_blockcache": r(
+            e2e_reason_a8_c and e2e_reason_a8_c["measured_s"], 3),
         "e2e_measured_s_1chip_8layer_bf16": r(e2e and e2e["measured_s"], 3),
         "e2e_est_s_1chip_40layer_bf16_extrapolated": r(e2e_40_1chip, 3),
         # round-3: MEASURED, not extrapolated (VERDICT #2) — full 8-step
@@ -1101,6 +1136,16 @@ def main():
         PARTIAL["e2e_reason_cached"] = stage(
             "e2e_reason_cached", bench_e2e_reasoning_deepest, cache=True,
             min_remaining=360)
+    _release_device_memory()
+    # w4a8 reasoning (round 4): int4 storage frees ~0.28 GB/layer of weight
+    # HBM vs int8, so the measured reasoning depth climbs toward full model
+    PARTIAL["e2e_reason_a8"] = stage(
+        "e2e_reason_a8", bench_e2e_reasoning_deepest, mode="int4_a8",
+        min_remaining=480)
+    if PARTIAL.get("e2e_reason_a8"):
+        PARTIAL["e2e_reason_a8_cached"] = stage(
+            "e2e_reason_a8_cached", bench_e2e_reasoning_deepest, cache=True,
+            mode="int4_a8", min_remaining=360)
     _release_device_memory()
     # extrapolation-model calibration inputs (VERDICT r3 #3): a shallow int4
     # e2e + the int4 per-block time let _assemble predict the 40-layer run

@@ -183,3 +183,44 @@ def test_assemble_int4_blockcache_fields():
     line = bench._shorten(out)
     assert len(__import__("json").dumps(line)) < 1500
     assert "e2e_measured_s_1chip_40layer_int4_blockcache" in line["headline"]
+
+
+def test_reasoning_probe_w4a8_seeds_deeper_and_keys_per_mode(monkeypatch):
+    """round-4: the w4a8 reasoning probe must (a) seed its start depth from
+    the int8-known depth's WEIGHT budget (int4 storage frees ~0.28 GB/layer,
+    so the start climbs), (b) descend on OOM, and (c) record feasibility
+    under its own cache key so int8 history is never clobbered."""
+    calls = []
+    fresh = {}
+    monkeypatch.setattr(bench, "_CACHE", fresh)
+    monkeypatch.setattr(bench, "_remaining", lambda: 1e9)
+    monkeypatch.setattr(bench, "_release_device_memory", lambda: None)
+    # weight model: int8 ~0.55 GB/layer, w4a8 ~0.23 GB/layer (ratios match
+    # the real eval_shape numbers at 14B width)
+    monkeypatch.setattr(
+        bench, "quantized_dit_bytes",
+        lambda layers, mode="int8": int(
+            layers * (0.55e9 if mode == "int8" else 0.23e9)))
+    int8_entry = bench._feasibility_entry("int8_reason_depth")
+    int8_entry["feasible"] = 12
+    fresh["int8_reason_depth"] = int8_entry
+
+    def fake_pipeline(layers, quantize, reasoning, cache=None):
+        calls.append((layers, quantize))
+        if layers > 24:  # chip fits w4a8 reasoning at 24, not 28
+            raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+        return {"layers": layers, "quantize": quantize, "measured_s": 30.0}
+
+    monkeypatch.setattr(bench, "bench_e2e_pipeline_s", fake_pipeline)
+    res = bench.bench_e2e_reasoning_deepest(mode="int4_a8")
+    # int8@12 budget = 6.6 GB -> w4a8 start = 28 (28*0.23=6.44 <= 6.6)
+    assert calls == [(28, "int4_a8"), (24, "int4_a8")]
+    assert res["layers"] == 24
+    assert fresh["int4a8_reason_depth"]["feasible"] == 24
+    assert fresh["int4a8_reason_depth"]["infeasible"] == [28]
+    # int8 history untouched
+    assert fresh["int8_reason_depth"]["feasible"] == 12
+    # a rerun starts straight at the known depth
+    calls.clear()
+    assert bench.bench_e2e_reasoning_deepest(mode="int4_a8")["layers"] == 24
+    assert calls == [(24, "int4_a8")]

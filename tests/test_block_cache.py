@@ -266,3 +266,25 @@ def test_reasoning_cache_psnr_gate():
     db2 = _psnr(both, ref)
     print(f"reasoning int8+cached-vs-bf16 PSNR: {db2:.1f} dB")
     assert db2 >= 28.0, db2
+
+
+@pytest.mark.slow
+def test_reasoning_w4a8_cache_psnr_gate():
+    """Quality gate for the w4a8 DEEP reasoning recipe (round-4): int4
+    storage frees ~0.28 GB/layer vs int8, so bench.py measures reasoning at
+    more than twice int8's depth (e2e_measured_s_1chip_reasoning_int4a8) —
+    the recipe stacks w4a8 requantized compute with the Δ-DiT block cache
+    on the full temporal-reasoning pipeline, and must hold the same stacked
+    bar as the w4a8 edit recipe (tests/test_quant.py, 23 dB)."""
+    from tests.test_quant import _psnr, _tiny_pipe_run
+
+    ref = _tiny_pipe_run(quantize=False, reasoning=True)
+    q = _tiny_pipe_run(quantize="int4_a8", reasoning=True)
+    db = _psnr(q, ref)
+    print(f"reasoning w4a8-vs-bf16 PSNR: {db:.1f} dB")
+    assert db >= 24.0, f"reasoning w4a8 PSNR {db:.1f} dB below 24 dB"
+
+    both = _tiny_pipe_run(quantize="int4_a8", cache=True, reasoning=True)
+    db2 = _psnr(both, ref)
+    print(f"reasoning w4a8+cached-vs-bf16 PSNR: {db2:.1f} dB")
+    assert db2 >= 23.0, db2

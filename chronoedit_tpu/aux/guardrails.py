@@ -142,15 +142,26 @@ _SUFFIXES = ("ings", "ing", "ers", "er", "ies", "es", "s", "ed")
 
 
 def _lemma_candidates(token: str) -> tuple[str, ...]:
-    out = [token]
-    for suf in _SUFFIXES:
-        if token.endswith(suf) and len(token) - len(suf) >= 3:
-            stem = token[: -len(suf)]
-            out.append(stem)
-            if suf in ("ies",):
-                out.append(stem + "y")
-            if suf in ("ing", "ings", "ed", "er", "ers"):
-                out.append(stem + "e")  # rape -> raping/raped/raper
+    # possessives first: the tokenizer keeps apostrophes (so "grape's"
+    # cannot leak a bare "rape" token), which means "rapist's" must be
+    # reduced here or every exact entry is bypassed by writing it as a
+    # possessive (round-4 review, verified by execution)
+    bases = [token]
+    if "'" in token:
+        if token.endswith("'s"):
+            bases.append(token[:-2])
+        bases.append(token.rstrip("'"))
+    out = []
+    for base in dict.fromkeys(bases):
+        out.append(base)
+        for suf in _SUFFIXES:
+            if base.endswith(suf) and len(base) - len(suf) >= 3:
+                stem = base[: -len(suf)]
+                out.append(stem)
+                if suf in ("ies",):
+                    out.append(stem + "y")
+                if suf in ("ing", "ings", "ed", "er", "ers"):
+                    out.append(stem + "e")  # rape -> raping/raped/raper
     return tuple(dict.fromkeys(out))
 
 
@@ -205,47 +216,89 @@ class Blocklist:
         p = prompt.lower().translate(_LEET)
         return re.sub(r"\s+", " ", p).strip()
 
-    def _strip_whitelist(self, norm: str) -> str:
+    def _strip_whitelist(self, norm: str,
+                         keep: frozenset[str] = frozenset()) -> str:
+        """Remove whitelist phrases; tokens in ``keep`` survive the removal.
+
+        The partial tier passes ``keep`` = every token that appears in an
+        exact word or partial phrase, so a whitelist span can never disarm a
+        blocked phrase that STRADDLES it: 'suicide prevention vest' keeps
+        'suicide' and still matches 'suicide vest' (round-4 review — with
+        plain deletion, appending 'prevention' bypassed every suicide-related
+        phrase). The exact tier passes no ``keep``: the whitelisted phrase
+        itself ('suicide prevention poster') must not fire the exact word."""
         for phrase in self.whitelist:
+            kept = " ".join(t for t in phrase.split() if t in keep)
+            repl = f" {kept} " if kept else " "
             if " " in phrase:
-                norm = norm.replace(phrase, " ")
+                norm = norm.replace(phrase, repl)
             else:
-                norm = re.sub(rf"\b{re.escape(phrase)}\b", " ", norm)
+                norm = re.sub(rf"\b{re.escape(phrase)}\b", repl, norm)
         return re.sub(r"\s+", " ", norm).strip()
 
     def _fuzzy_match(self, words: list[str], phrase: str) -> bool:
-        """Reference check_partial_match semantics: slide a window of
-        len(phrase.split()) words over the prompt and accept when the
-        SequenceMatcher ratio clears (len - letter_count) / len."""
+        """Slide a window of len(phrase.split()) words over the prompt
+        (reference check_partial_match, blocklist.py:94-127) and accept when
+        the window reaches the phrase with at most ``fuzzy_letter_count``
+        inserted+deleted characters and NO substitutions. Divergence from the
+        reference's pure-ratio test is deliberate: leet normalization already
+        canonicalizes substitution-style obfuscation, while a 1-char
+        substitution tolerance false-positives on benign near-miss bigrams
+        ('burning olive' ~ 'burning alive' — round-4 review, verified by
+        execution). Insert/delete tolerance keeps 'mas shooting' blocked."""
         import difflib
 
         n = len(phrase.split())
         if n > len(words):
             return False
-        thresh = (len(phrase) - self.fuzzy_letter_count) / len(phrase)
         sm = difflib.SequenceMatcher(b=phrase)
         for i in range(len(words) - n + 1):
-            sm.set_seq1(" ".join(words[i:i + n]))
-            if sm.ratio() >= thresh:
+            window = " ".join(words[i:i + n])
+            if abs(len(window) - len(phrase)) > self.fuzzy_letter_count:
+                continue
+            sm.set_seq1(window)
+            cost = 0.0
+            for tag, i1, i2, j1, j2 in sm.get_opcodes():
+                if tag == "equal":
+                    continue
+                if tag == "replace":
+                    cost = float("inf")
+                    break
+                cost += (i2 - i1) + (j2 - j1)
+            if cost <= self.fuzzy_letter_count:
                 return True
         return False
 
+    def _danger_tokens(self) -> frozenset[str]:
+        """Tokens that carry block signal: exact words plus every token of
+        every partial phrase. Whitelist stripping preserves these for the
+        partial tier (see _strip_whitelist)."""
+        return frozenset(self.exact_words).union(
+            t for p in self.partial_phrases for t in p.split())
+
     def __call__(self, prompt: str) -> tuple[bool, str]:
-        norm = self._strip_whitelist(self.normalize(prompt))
+        norm0 = self.normalize(prompt)
+        # exact tier: whitelist spans fully removed (a whitelisted phrase
+        # containing an exact word — 'suicide prevention' — must pass)
+        norm = self._strip_whitelist(norm0)
         tokens = re.findall(r"[a-z']+", norm)
         lemmas = {c for t in tokens for c in _lemma_candidates(t)}
         exact = set(self.exact_words)
         hit = lemmas & exact
         if hit:
             return False, f"blocked word {sorted(hit)[0]!r}"
+        # partial tier: whitelist spans collapsed to their danger tokens so
+        # phrases straddling a whitelist span still match
+        norm_p = self._strip_whitelist(norm0, keep=self._danger_tokens())
+        tokens_p = re.findall(r"[a-z']+", norm_p)
         for phrase in self.partial_phrases:
             # word-boundary match (reference blocklist.py:155-157) — a bare
             # substring test lets short phrases clip longer words
             # ("gas the" inside "gas theory")
-            if re.search(rf"\b{re.escape(phrase)}\b", norm):
+            if re.search(rf"\b{re.escape(phrase)}\b", norm_p):
                 return False, f"blocked phrase {phrase!r}"
             if (len(phrase) >= self.fuzzy_min_chars
-                    and self._fuzzy_match(tokens, phrase)):
+                    and self._fuzzy_match(tokens_p, phrase)):
                 return False, f"blocked phrase (fuzzy) {phrase!r}"
         return True, ""
 

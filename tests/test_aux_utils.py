@@ -470,6 +470,58 @@ def test_blocklist_benign_prompts_pass():
         assert not bl(prompt)[0], f"should block: {prompt!r}"
 
 
+def test_blocklist_whitelist_cannot_disarm_straddling_phrases():
+    """round-4 review: whitelist phrases containing a blocked token
+    ('suicide prevention') must not disarm partial phrases that STRADDLE
+    the whitelist span — appending 'prevention' or prefixing 'anti '
+    bypassed every suicide-related phrase."""
+    bl = Blocklist()
+    for prompt in (
+        "suicide prevention bomb in a crowd",
+        "a man wearing a suicide prevention vest packed with explosives",
+        "anti suicide bomb attack on the market",
+    ):
+        ok, reason = bl(prompt)
+        assert not ok, f"straddle bypass: {prompt!r}"
+    # the legitimate whitelisted usages still pass
+    for prompt in ("a suicide prevention awareness poster",
+                   "an anti suicide campaign billboard"):
+        ok, reason = bl(prompt)
+        assert ok, f"benign whitelisted prompt blocked: {prompt!r} -> {reason}"
+
+
+def test_blocklist_possessive_forms_blocked():
+    """round-4 review: the tokenizer keeps apostrophes, so possessive
+    forms of exact-tier words bypassed the whole tier ("the rapist's
+    knife" passed while "the rapist knife" blocked)."""
+    bl = Blocklist()
+    assert not bl("the rapist's knife")[0]
+    assert not bl("the suicide's aftermath")[0]
+    # benign possessives of near-miss words still pass ("grape's" must not
+    # leak a bare "rape" token)
+    ok, reason = bl("the grape's deep purple color")
+    assert ok, reason
+
+
+def test_blocklist_fuzzy_rejects_substitutions():
+    """round-4 review: 1-char SUBSTITUTION tolerance clips benign bigrams
+    ('burning olive' ~ 'burning alive', ratio 0.923 = threshold). The fuzzy
+    tier now accepts only insert/delete edits — leet normalization already
+    canonicalizes substitution obfuscation."""
+    bl = Blocklist()
+    for prompt in ("a burning olive tree in a field",
+                   "a severed heap of autumn leaves"):
+        ok, reason = bl(prompt)
+        assert ok, f"benign prompt blocked: {prompt!r} -> {reason}"
+    # insert/delete obfuscations still block via the fuzzy tier
+    for prompt in ("a mas shooting scene", "a masss shooting scene"):
+        ok, reason = bl(prompt)
+        assert not ok and "fuzzy" in reason, (prompt, ok, reason)
+    # the un-obfuscated phrases still block exactly
+    assert not bl("burning alive in the fire")[0]
+    assert not bl("a severed head on a pike")[0]
+
+
 def test_blocklist_from_dir_no_whitelist_fallback(tmp_path):
     """from_dir must NOT inherit the bundled whitelist (it is subtractive:
     a whitelisted token can disarm a custom partial phrase)."""

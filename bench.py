@@ -571,14 +571,9 @@ def bench_e2e_reasoning_deepest(cache: bool = False,
             while (start + 4 <= 40 and
                    quantized_dit_bytes(start + 4, mode=mode) <= budget):
                 start += 4
-    for layers in range(start, 7, -4):
-        if (quantized_dit_bytes(layers, mode=mode) > 13.2e9
-                or layers in infeasible):
-            continue
-        if _remaining() < 420:
-            print(f"[bench] skipping reasoning e2e at {layers} layers "
-                  "(deadline)", file=sys.stderr)
-            return None
+    def attempt(layers: int) -> tuple[dict | None, bool]:
+        """One measurement try; returns (result, oomish)."""
+        global _CACHE_DIRTY
         failure = None
         try:
             res = bench_e2e_pipeline_s(
@@ -588,24 +583,58 @@ def bench_e2e_reasoning_deepest(cache: bool = False,
             hist["feasible"] = layers
             _CACHE[key] = hist
             _CACHE_DIRTY = True
-            return res
+            return res, False
         except Exception as e:
             failure = (("RESOURCE_EXHAUSTED" in str(e)
                         or "remote_compile" in str(e)),
                        type(e).__name__, str(e)[:300])
         _release_device_memory()  # outside except: see stage()
         oomish, ename, emsg = failure
-        if not oomish:
+        if oomish:
+            infeasible.add(layers)
+            hist["infeasible"] = sorted(infeasible)
+            _CACHE[key] = hist
+            _CACHE_DIRTY = True
+        else:
             print(f"[bench] reasoning e2e failed at {layers} layers: "
                   f"{ename}: {emsg}", file=sys.stderr)
+        return None, oomish
+
+    res = None
+    for layers in range(start, 7, -4):
+        if (quantized_dit_bytes(layers, mode=mode) > 13.2e9
+                or layers in infeasible):
+            continue
+        if _remaining() < 420:
+            print(f"[bench] skipping reasoning e2e at {layers} layers "
+                  "(deadline)", file=sys.stderr)
+            return None
+        res, oomish = attempt(layers)
+        if res is not None:
+            break
+        if not oomish:
             return None
         print(f"[bench] reasoning e2e OOM-ish at {layers} layers; "
               "trying shallower", file=sys.stderr)
-        infeasible.add(layers)
-        hist["infeasible"] = sorted(infeasible)
-        _CACHE[key] = hist
-        _CACHE_DIRTY = True
-    return None
+    if res is None:
+        return None
+    # climb upward (round 4): the weight-budget seed is conservative — a
+    # first-try success (e.g. w4a8 at its seeded depth 28) leaves deeper
+    # depths unexplored. Probe +4 while weights plausibly fit and the
+    # deadline allows; feasibility persists, so later runs start directly
+    # at the deepest known-good depth and pay the climb only once.
+    nxt = hist["feasible"] + 4
+    while (nxt <= 40 and nxt not in infeasible
+           and quantized_dit_bytes(nxt, mode=mode) <= 13.2e9
+           and _remaining() >= 900):
+        print(f"[bench] reasoning e2e climbing to {nxt} layers",
+              file=sys.stderr)
+        deeper, oomish = attempt(nxt)
+        if deeper is None:
+            break
+        res = deeper
+        nxt += 4
+    return res
 
 
 def bench_e2e_int4_full(mode: str = "int4") -> dict | None:

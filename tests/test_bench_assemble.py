@@ -224,3 +224,47 @@ def test_reasoning_probe_w4a8_seeds_deeper_and_keys_per_mode(monkeypatch):
     calls.clear()
     assert bench.bench_e2e_reasoning_deepest(mode="int4_a8")["layers"] == 24
     assert calls == [(24, "int4_a8")]
+
+
+def test_reasoning_probe_climbs_after_first_try_success(monkeypatch):
+    """round-4: the weight-budget seed is conservative — when the seeded
+    depth succeeds on the first try, the probe must climb +4 toward 40
+    instead of leaving deeper depths unexplored (w4a8 landed on 28 first
+    try and 32/36/40 were never probed). Feasibility persists, so the climb
+    is paid once and reruns start at the deepest known-good depth."""
+    calls = []
+    fresh = {}
+    monkeypatch.setattr(bench, "_CACHE", fresh)
+    monkeypatch.setattr(bench, "_remaining", lambda: 1e9)
+    monkeypatch.setattr(bench, "_release_device_memory", lambda: None)
+    monkeypatch.setattr(
+        bench, "quantized_dit_bytes",
+        lambda layers, mode="int8": int(
+            layers * (0.55e9 if mode == "int8" else 0.23e9)))
+    int8_entry = bench._feasibility_entry("int8_reason_depth")
+    int8_entry["feasible"] = 12
+    fresh["int8_reason_depth"] = int8_entry
+
+    def fake_pipeline(layers, quantize, reasoning, cache=None):
+        calls.append(layers)
+        if layers > 36:  # chip fits w4a8 reasoning up to 36
+            raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+        return {"layers": layers, "quantize": quantize, "measured_s": 30.0}
+
+    monkeypatch.setattr(bench, "bench_e2e_pipeline_s", fake_pipeline)
+    res = bench.bench_e2e_reasoning_deepest(mode="int4_a8")
+    # seed 28 succeeds -> climb 32, 36 (ok), 40 (OOM) -> deepest wins
+    assert calls == [28, 32, 36, 40]
+    assert res["layers"] == 36
+    assert fresh["int4a8_reason_depth"]["feasible"] == 36
+    assert fresh["int4a8_reason_depth"]["infeasible"] == [40]
+    # rerun starts at 36 and does not re-probe the known-infeasible 40
+    calls.clear()
+    assert bench.bench_e2e_reasoning_deepest(mode="int4_a8")["layers"] == 36
+    assert calls == [36]
+    # deadline guard: with little time left the climb is skipped
+    calls.clear()
+    fresh.pop("int4a8_reason_depth")
+    monkeypatch.setattr(bench, "_remaining", lambda: 600)
+    assert bench.bench_e2e_reasoning_deepest(mode="int4_a8")["layers"] == 28
+    assert calls == [28]

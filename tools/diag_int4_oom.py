@@ -45,7 +45,8 @@ def main():
     ap.add_argument("--layers", type=int, default=40)
     ap.add_argument("--height", type=int, default=704)
     ap.add_argument("--width", type=int, default=1280)
-    ap.add_argument("--mode", default="int4", choices=("int4", "int8"),
+    ap.add_argument("--mode", default="int4",
+                    choices=("int4", "int4_a8", "int8"),
                     help="quantization scheme to diagnose")
     ap.add_argument("--reasoning", action="store_true",
                     help="diagnose the temporal-reasoning program (29-frame "

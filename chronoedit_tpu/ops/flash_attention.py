@@ -41,6 +41,17 @@ from jax.experimental.pallas import tpu as pltpu
 _BLOCK_Q = 1024
 _BLOCK_KV = 1024
 
+# k-major (K fed to the kernels as (D, S), one XLA transpose outside the
+# kernel so every score matmul sees an MXU-native contract-on-dim-0 rhs).
+# Measured on v5e (tools/tune_attention.py --kt-ab, scan-chained, bitwise-
+# identical sums): edit/7.2k 140.0 -> 140.9 TFLOP/s (+0.6%), reasoning/28.8k
+# 125.1 -> 126.2 (+0.9%) — Mosaic already feeds the MXU the (Bkv, D) block
+# nearly free, so the layout buys ~nothing. Default OFF: the gain is inside
+# run-to-run noise while the XLA-level K transpose adds a ~0.6 GB HBM
+# transient at the 28.8k reasoning shape, which sits on the single-chip
+# OOM feasibility edge (w4a8 depth 28 fits, 32 does not).
+_K_MAJOR_DEFAULT = False
+
 _NEG_INF = float("-inf")
 
 
@@ -123,10 +134,14 @@ _RESIDENT_KV_BYTES = 6 * 1024 * 1024
 _SUB_BLOCK = 512
 
 
-def _online_step(q, k, v, s_mask, scale, acc, m_prev, l_prev):
+def _online_step(q, k, v, s_mask, scale, acc, m_prev, l_prev,
+                 k_major=False):
     """One online-softmax update with an optional (static) column mask.
-    ``scale=None`` means q arrives pre-scaled (the VPU-diet path)."""
-    s = _dot(q, k, ((1,), (1,)), q.dtype)
+    ``scale=None`` means q arrives pre-scaled (the VPU-diet path).
+    ``k_major``: k arrives (D, Bkv) so the score matmul contracts the rhs on
+    dim 0 — the MXU-native orientation — instead of requiring an in-VMEM
+    transpose of the (Bkv, D) block each step."""
+    s = _dot(q, k, ((1,), (0,) if k_major else (1,)), q.dtype)
     if scale is not None:
         s = s * scale
     if s_mask is not None:
@@ -142,7 +157,7 @@ def _online_step(q, k, v, s_mask, scale, acc, m_prev, l_prev):
 
 def _fwd_kernel_resident(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
                          scale: float, kv_len: int, sub: int,
-                         diet: bool = True):
+                         diet: bool = True, k_major: bool = False):
     # bf16 MXU inputs with fp32 accumulation (single-pass matmuls — fp32
     # inputs force the multi-pass MXU path); softmax statistics in fp32,
     # probabilities cast to the input dtype for the PV dot (flash-attn
@@ -154,20 +169,24 @@ def _fwd_kernel_resident(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         q = (q.astype(jnp.float32) * scale).astype(q.dtype)
         scale = None
     bq, d = q.shape
-    skv = k_ref.shape[0]
+    skv = k_ref.shape[1] if k_major else k_ref.shape[0]
 
     acc = jnp.zeros((bq, d), jnp.float32)
     m = jnp.full((bq, 1), _NEG_INF, jnp.float32)
     l = jnp.zeros((bq, 1), jnp.float32)
     for start in range(0, skv, sub):
         size = min(sub, skv - start)  # final sub-block may be ragged
-        k = k_ref[pl.ds(start, size), :]
+        if k_major:
+            k = k_ref[:, pl.ds(start, size)]
+        else:
+            k = k_ref[pl.ds(start, size), :]
         v = v_ref[pl.ds(start, size), :]
         mask = None
         if start + size > kv_len:  # static: only the boundary sub-block
             kv_ids = start + jax.lax.broadcasted_iota(jnp.int32, (bq, size), 1)
             mask = kv_ids < kv_len
-        acc, m, l = _online_step(q, k, v, mask, scale, acc, m, l)
+        acc, m, l = _online_step(q, k, v, mask, scale, acc, m, l,
+                                 k_major=k_major)
 
     o_ref[...] = (acc / l).astype(o_ref.dtype)
     # lse replicated across 8 sublanes (TPU block sublane%8==0)
@@ -177,7 +196,7 @@ def _fwd_kernel_resident(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
 
 def _fwd_kernel_streamed(q_ref, k_ref, v_ref, *rest, scale: float,
                          kv_len: int, block_kv: int, masked: bool,
-                         diet: bool):
+                         diet: bool, k_major: bool = False):
     # Same math as the resident kernel, with the online-softmax state
     # (acc, m, l) carried across the streamed kv grid dim in VMEM scratch.
     # The padding mask is applied unconditionally when the sequence is
@@ -223,7 +242,7 @@ def _fwd_kernel_streamed(q_ref, k_ref, v_ref, *rest, scale: float,
         q = (q.astype(jnp.float32) * scale).astype(q.dtype)
     k = k_ref[...]
     v = v_ref[...]
-    s = _dot(q, k, ((1,), (1,)), q.dtype)
+    s = _dot(q, k, ((1,), (0,) if k_major else (1,)), q.dtype)
     if not diet:
         s = s * scale
     if masked:
@@ -255,9 +274,13 @@ def _fwd_kernel_streamed(q_ref, k_ref, v_ref, *rest, scale: float,
 
 
 def _forward(qb, kb, vb, scale, block_q, block_kv, kv_len, out_dtype,
-             diet: bool = True):
+             diet: bool = True, k_major: bool = False):
+    # ``k_major``: kb arrives (BH, D, Skv_pad) — transposed once at the XLA
+    # level by the caller — so every kernel score matmul sees the rhs in the
+    # MXU-native (contract-on-dim-0) orientation instead of paying an
+    # in-VMEM transpose of each (Bkv, D) block.
     bh, sq_pad, d = qb.shape
-    skv_pad = kb.shape[1]
+    skv_pad = kb.shape[1] if not k_major else kb.shape[2]
     itemsize = jnp.dtype(qb.dtype).itemsize
     cost = pl.CostEstimate(
         flops=4 * bh * sq_pad * skv_pad * d,
@@ -275,15 +298,19 @@ def _forward(qb, kb, vb, scale, block_q, block_kv, kv_len, out_dtype,
         # against a direct caller handing the streamed default
         if block_q > 256:
             block_q = 256 if sq_pad % 256 == 0 else 128
+        k_spec = (pl.BlockSpec((None, d, skv_pad), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM) if k_major else
+                  pl.BlockSpec((None, skv_pad, d), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM))
         return pl.pallas_call(
             functools.partial(_fwd_kernel_resident, scale=scale,
-                              kv_len=kv_len, sub=sub, diet=diet),
+                              kv_len=kv_len, sub=sub, diet=diet,
+                              k_major=k_major),
             grid=(bh, sq_pad // block_q),
             in_specs=[
                 pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((None, skv_pad, d), lambda i, j: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
+                k_spec,
                 pl.BlockSpec((None, skv_pad, d), lambda i, j: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
@@ -300,11 +327,14 @@ def _forward(qb, kb, vb, scale, block_q, block_kv, kv_len, out_dtype,
 
     grid = (bh, sq_pad // block_q, skv_pad // block_kv)
     masked = skv_pad != kv_len
+    k_spec = (pl.BlockSpec((None, d, block_kv), lambda i, j, ki: (i, 0, ki),
+                           memory_space=pltpu.VMEM) if k_major else
+              pl.BlockSpec((None, block_kv, d), lambda i, j, ki: (i, ki, 0),
+                           memory_space=pltpu.VMEM))
     in_specs = [
         pl.BlockSpec((None, block_q, d), lambda i, j, ki: (i, j, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((None, block_kv, d), lambda i, j, ki: (i, ki, 0),
-                     memory_space=pltpu.VMEM),
+        k_spec,
         pl.BlockSpec((None, block_kv, d), lambda i, j, ki: (i, ki, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -319,7 +349,8 @@ def _forward(qb, kb, vb, scale, block_q, block_kv, kv_len, out_dtype,
                                      memory_space=pltpu.VMEM))
     return pl.pallas_call(
         functools.partial(_fwd_kernel_streamed, scale=scale, kv_len=kv_len,
-                          block_kv=block_kv, masked=masked, diet=diet),
+                          block_kv=block_kv, masked=masked, diet=diet,
+                          k_major=k_major),
         grid=grid,
         in_specs=in_specs,
         out_specs=(
@@ -469,31 +500,36 @@ def _backward(qb, kb, vb, ob, dob, lse, scale, block_q, block_kv, kv_len):
 
 # ================================================================ public
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash(q, k, v, scale, block_q, block_kv, diet):
-    out, _ = _flash_fwd_res(q, k, v, scale, block_q, block_kv, diet)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash(q, k, v, scale, block_q, block_kv, diet, k_major):
+    out, _ = _flash_fwd_res(q, k, v, scale, block_q, block_kv, diet, k_major)
     return out
 
 
-def _flash_fwd_res(q, k, v, scale, block_q, block_kv, diet=True):
+def _flash_fwd_res(q, k, v, scale, block_q, block_kv, diet=True,
+                   k_major=False):
     b, sq, h, d = q.shape
     kv_len = k.shape[1]
     qb = _pad_to(_to_bh(q), 1, block_q)
     kb = _pad_to(_to_bh(k), 1, block_kv)
     vb = _pad_to(_to_bh(v), 1, block_kv)
-    ob, lse = _forward(qb, kb, vb, scale, block_q, block_kv, kv_len, q.dtype,
-                       diet)
+    # one XLA-level transpose (HBM read+write of KV, ~µs against the
+    # attention itself) buys every kernel step an MXU-native rhs
+    kb_in = kb.transpose(0, 2, 1) if k_major else kb
+    ob, lse = _forward(qb, kb_in, vb, scale, block_q, block_kv, kv_len,
+                       q.dtype, diet, k_major)
     return _from_bh(ob, b, h, sq), (qb, kb, vb, ob, lse)
 
 
-def _flash_vjp_fwd(q, k, v, scale, block_q, block_kv, diet):
-    out, res = _flash_fwd_res(q, k, v, scale, block_q, block_kv, diet)
+def _flash_vjp_fwd(q, k, v, scale, block_q, block_kv, diet, k_major):
+    out, res = _flash_fwd_res(q, k, v, scale, block_q, block_kv, diet,
+                              k_major)
     b, sq, h, _ = q.shape
     kv_len = k.shape[1]
     return out, (res, (b, sq, h, kv_len))
 
 
-def _flash_vjp_bwd(scale, block_q, block_kv, diet, carry, g):
+def _flash_vjp_bwd(scale, block_q, block_kv, diet, k_major, carry, g):
     (qb, kb, vb, ob, lse), (b, sq, h, kv_len) = carry
     sq_pad = qb.shape[1]
     # zero-pad the cotangent and +inf the padded-row lse so padded q rows
@@ -520,17 +556,22 @@ def _check_layout(q):
 def flash_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     block_q: int = _BLOCK_Q, block_kv: int = _BLOCK_KV, diet: bool = True,
+    k_major: bool | None = None,
 ) -> jnp.ndarray:
     """Flash attention, (B, S, H, D) layout, full (unmasked) attention,
     differentiable (custom flash backward kernels). KV is streamed from HBM
     block-by-block, so sequence length is bounded by HBM, not VMEM.
     ``diet`` applies the forward VPU diet (q-prescale + additive pad mask);
-    exact for fp32, one standard q-rounding for bf16."""
+    exact for fp32, one standard q-rounding for bf16. ``k_major`` feeds the
+    kernels a (D, S)-transposed K (bitwise-identical math, different
+    layout); ``None`` uses the swept per-path default."""
     _check_layout(q)
     block_q, block_kv = _plan_blocks(
         q.shape[1], k.shape[1], q.shape[-1], jnp.dtype(q.dtype).itemsize,
         block_q, block_kv)
-    return _flash(q, k, v, scale, block_q, block_kv, diet)
+    if k_major is None:
+        k_major = _K_MAJOR_DEFAULT
+    return _flash(q, k, v, scale, block_q, block_kv, diet, k_major)
 
 
 def flash_attention_with_lse(

@@ -151,3 +151,30 @@ def test_flash_streamed_diet_matches_xla(monkeypatch):
                                  block_kv=128, diet=diet)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-5, err_msg=f"diet={diet}")
+
+
+@pytest.mark.slow
+def test_flash_k_major_bitwise_matches_row_major(monkeypatch):
+    """The k-major layout (K fed to the kernels as (D, S), round 4) is a
+    pure layout change — fwd must be BITWISE identical to the row-major
+    kernels on both the resident and the (forced) streamed path, including
+    ragged padding, and the custom-vjp backward must still run (it keeps
+    row-major residuals regardless of the forward layout)."""
+    from chronoedit_tpu.ops import flash_attention as fa
+
+    s = 384
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    q, k, v = [jax.random.normal(kk, (1, s, 2, 128), jnp.float32)
+               for kk in ks]
+    for forced_stream in (False, True):
+        if forced_stream:
+            monkeypatch.setattr(fa, "_RESIDENT_KV_BYTES", 1)
+        a = fa.flash_attention(q, k, v, scale=128 ** -0.5, block_q=128,
+                               block_kv=128, k_major=False)
+        b = fa.flash_attention(q, k, v, scale=128 ** -0.5, block_q=128,
+                               block_kv=128, k_major=True)
+        assert jnp.array_equal(a, b), f"streamed={forced_stream}"
+    g = jax.grad(lambda a: jnp.sum(fa.flash_attention(
+        a, k, v, scale=128 ** -0.5, block_q=128, block_kv=128,
+        k_major=True) ** 2))(q)
+    assert bool(jnp.all(jnp.isfinite(g)))

@@ -121,6 +121,43 @@ def diet_ab(B, S, H=40, D=128, iters=8, reps=20):
               f"({flops / dt / 1e12:6.1f} TFLOP/s)", flush=True)
 
 
+def kt_ab(B, S, H=40, D=128, iters=8, reps=20):
+    """A/B the k-major layout (K fed to the kernels as (D, S), one XLA
+    transpose outside) at production block sizes, scan-chained timing."""
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, S, H, D), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (B, S, H, D), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (B, S, H, D), jnp.bfloat16)
+    scale = D ** -0.5
+    flops = 4 * B * H * S * S * D
+    print(f"== k-major A/B: B={B} S={S}", flush=True)
+
+    def timed(k_major, n):
+        @jax.jit
+        def run(q, k, v):
+            def body(c, _):
+                o = flash_attention(c, k, v, scale=scale, k_major=k_major)
+                return c + 1e-6, jnp.sum(o.astype(jnp.float32))
+
+            return jnp.sum(jax.lax.scan(body, q, None, length=n)[1])
+
+        for _ in range(2):
+            s = float(run(q, k, v))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s = float(run(q, k, v))
+        assert s == s
+        return (time.perf_counter() - t0) / iters, s
+
+    for k_major in (False, True):
+        (t_long, s_long) = timed(k_major, reps)
+        (t_short, _) = timed(k_major, reps // 2)
+        dt = (t_long - t_short) / (reps - reps // 2)
+        print(f"k_major={k_major}: {dt * 1e3:7.2f} ms/call "
+              f"({flops / dt / 1e12:6.1f} TFLOP/s) sum={s_long:.3f}",
+              flush=True)
+
+
 def main():
     import argparse
 
@@ -130,7 +167,15 @@ def main():
     p.add_argument("--diet-ab", action="store_true",
                    help="A/B the VPU-diet kernel variant instead of the "
                         "block sweep")
+    p.add_argument("--kt-ab", action="store_true",
+                   help="A/B the k-major K layout instead of the block sweep")
     a = p.parse_args()
+    if a.kt_ab:
+        if a.shapes in ("edit", "both"):
+            kt_ab(2, 7200)
+        if a.shapes in ("reasoning", "both"):
+            kt_ab(2, 28800, iters=3, reps=8)
+        return
     if a.diet_ab:
         if a.shapes in ("edit", "both"):
             diet_ab(2, 7200)

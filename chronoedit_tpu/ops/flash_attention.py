@@ -35,11 +35,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Tunables swept on v5e (720p edit + reasoning shapes, honest scan-chained
-# timing): streamed path peaks at 1024x1024 (126 TFLOP/s at 28.8k tokens);
-# the resident path plans 256-blocks *before* padding (123 TFLOP/s at 7.2k,
-# 13% over the old pad-to-1024-then-reduce flow).
+# timing): the streamed path fetches KV in *groups* of `_STREAM_GROUP`
+# independent `_STREAM_BKV` blocks per grid step (see the grouped kernel's
+# docstring for the sweep table — 137.8 TFLOP/s at 28.8k tokens vs 125.5
+# for the old single 1024-block stream); the resident path plans 256-blocks
+# *before* padding (123 TFLOP/s at 7.2k, 13% over the old
+# pad-to-1024-then-reduce flow).
 _BLOCK_Q = 1024
 _BLOCK_KV = 1024
+_STREAM_GROUP = 3
+_STREAM_BKV = 512
 
 # k-major (K fed to the kernels as (D, S), one XLA transpose outside the
 # kernel so every score matmul sees an MXU-native contract-on-dim-0 rhs).
@@ -73,14 +78,19 @@ def _pick_blocks(sq: int, kv_len: int, block_q: int, block_kv: int):
 
 
 def _plan_blocks(sq: int, skv: int, d: int, itemsize: int,
-                 block_q: int, block_kv: int) -> tuple[int, int]:
-    """Final block sizes, decided BEFORE padding.
+                 block_q: int, block_kv: int) -> tuple[int, int, int]:
+    """Final ``(block_q, block_kv, group)``, decided BEFORE padding.
 
     The resident path caps q blocks at 256 and only needs 128-aligned KV;
     planning that after padding to the streamed 1024 default wasted ~11%
     masked work at the flagship 7.2k-token edit shape (round-2 review).
-    Buffers are padded to these block sizes, so forward and backward grids
-    stay consistent."""
+    Buffers are padded to ``block_kv * group``, so forward and backward
+    grids stay consistent (the backward reuses ``block_kv`` alone — a
+    group-multiple pad is also a block multiple).
+
+    ``group > 1`` engages the grouped streamed kernel (round 4): only at
+    the full-scale streamed default — explicit small test blocks and
+    resident shapes keep group 1."""
     # decide residency from the size the buffers will actually be padded to
     # (the resident path's kv block), so this check and _forward's re-check
     # agree — a 128-aligned check here with 256-padding there sent gap shapes
@@ -89,8 +99,11 @@ def _plan_blocks(sq: int, skv: int, d: int, itemsize: int,
     skv_res = -(-skv // bkv) * bkv
     if 2 * skv_res * d * itemsize <= _RESIDENT_KV_BYTES:
         bq = 256 if sq >= 256 else 128
-        return min(block_q, bq), bkv
-    return _pick_blocks(sq, skv, block_q, block_kv)
+        return min(block_q, bq), bkv, 1
+    bq, bkv = _pick_blocks(sq, skv, block_q, block_kv)
+    if bkv == _BLOCK_KV:  # full-scale stream (skv > resident ceiling)
+        return bq, _STREAM_BKV, _STREAM_GROUP
+    return bq, bkv, 1
 
 
 def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
@@ -194,22 +207,36 @@ def _fwd_kernel_resident(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
                                     lse_ref.shape)
 
 
-def _fwd_kernel_streamed(q_ref, k_ref, v_ref, *rest, scale: float,
-                         kv_len: int, block_kv: int, masked: bool,
-                         diet: bool, k_major: bool = False):
+def _fwd_kernel_streamed(q_ref, *rest, scale: float, kv_len: int,
+                         block_kv: int, masked: bool, diet: bool,
+                         group: int = 1, k_major: bool = False):
     # Same math as the resident kernel, with the online-softmax state
     # (acc, m, l) carried across the streamed kv grid dim in VMEM scratch.
     # The padding mask is applied unconditionally when the sequence is
     # padded — a lax.cond boundary-only variant measured *slower* (74 vs
     # 126 TFLOP/s at 28.8k tokens): the conditional blocks Mosaic's
     # scheduling, while the mask itself is ~3 cheap VPU ops/token.
-    # Negative result (round 4): splitting this kernel's kv block into a
-    # resident-style static sub-block unroll (2x 512 per 1024 block, local
-    # acc/m/l carried through the unroll) HALVED throughput — 57-76 vs
-    # 124 TFLOP/s measured at the 28.8k reasoning shape. The resident
-    # kernel's unroll wins because its KV never re-enters through the grid
-    # pipeline; here the dynamic sub-slices of the streamed block defeated
-    # Mosaic's scheduling instead of improving MXU/VPU overlap. Don't retry.
+    #
+    # ``group`` (round 4, grouped stream): each grid step fetches `group`
+    # INDEPENDENT kv blocks — delivered as separate refs by `group` aliased
+    # operands whose BlockSpecs stride the same buffer — hoists all `group`
+    # score matmuls before any softmax work (so the MXU can run block i+1's
+    # scores under block i's exp/max VPU ops), then applies ONE combined
+    # max/rescale/accumulate update (1/group of the alpha + acc-rescale
+    # traffic). Swept at the 28.8k reasoning shape, B=2 H=40 D=128, v5e
+    # (tools/exp_flash_paired.py, scan-chained):
+    #     1x1024 (old)  125.5 TFLOP/s        2x512   116.4
+    #     2x768         137.2                2x1024  132.3
+    #     3x512         137.8  <- shipped    3x768   129.9
+    #     4x512         137.1 (16MB scoped-VMEM cliff: OOMed 1 of 2 runs)
+    #     3x1024, 4x768, 4x1024: scoped-VMEM OOM (score stack 2*n*Bq*Bkv*4B)
+    # ~+4.5% is the combined update + matmul hoisting at equal padding;
+    # the rest is the finer 1536-token pad granularity at 28.8k tokens.
+    # Earlier negative result stands: splitting ONE streamed block with
+    # dynamic sub-slices (local unroll, no extra operands) HALVED
+    # throughput — the grouped variant works precisely because the blocks
+    # arrive as separate static refs through the pipeline, not as in-kernel
+    # slices. Don't retry the sub-slice form.
     #
     # ``diet`` (round 4 VPU diet): shave per-score VPU work by (a) folding
     # the softmax scale into the q block ONCE per q block instead of
@@ -217,10 +244,10 @@ def _fwd_kernel_streamed(q_ref, k_ref, v_ref, *rest, scale: float,
     # one precomputed additive 0/-inf bias row instead of
     # iota+compare+select (3 ops -> 1). Measured (tune_attention --diet-ab,
     # scan-chained): resident/edit shape 138.8 -> 142.6 TFLOP/s (+2.7%);
-    # streamed/28.8k shape unchanged (125.3 both ways — the streamed
-    # kernel's residual gap to the MXU roofline is pipeline scheduling,
-    # not per-score VPU ops). Default ON: exact in fp32, one standard
-    # flash-attn q-prescale rounding in bf16.
+    # streamed/28.8k shape unchanged. Default ON: exact in fp32, one
+    # standard flash-attn q-prescale rounding in bf16.
+    n = group
+    k_refs, v_refs, rest = rest[:n], rest[n:2 * n], rest[2 * n:]
     if masked and diet:
         bias_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref = rest
     else:
@@ -240,30 +267,36 @@ def _fwd_kernel_streamed(q_ref, k_ref, v_ref, *rest, scale: float,
         # fp32 scaling then cast back: exact for fp32 q; for bf16 the one
         # rounding of q*scale is the standard flash-attn q-prescale
         q = (q.astype(jnp.float32) * scale).astype(q.dtype)
-    k = k_ref[...]
-    v = v_ref[...]
-    s = _dot(q, k, ((1,), (0,) if k_major else (1,)), q.dtype)
+    # all score matmuls hoisted ahead of the softmax chain (MXU/VPU overlap)
+    ss = [_dot(q, kr[...], ((1,), (0,) if k_major else (1,)), q.dtype)
+          for kr in k_refs]
     if not diet:
-        s = s * scale
+        ss = [s * scale for s in ss]
     if masked:
-        if diet:
-            s = s + bias_ref[:1, :]  # (1, Bkv) broadcast add, 0 or -inf
+        if diet:  # (1, i-th Bkv slice) broadcast add, 0 or -inf
+            ss = [s + bias_ref[:1, i * block_kv:(i + 1) * block_kv]
+                  for i, s in enumerate(ss)]
         else:
-            kv_ids = ki * block_kv + jax.lax.broadcasted_iota(
-                jnp.int32, s.shape, 1)
-            s = jnp.where(kv_ids < kv_len, s, _NEG_INF)
+            ss = [jnp.where((ki * n + i) * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 1) < kv_len, s, _NEG_INF)
+                for i, s in enumerate(ss)]
 
     m_prev = m_ref[:, :1]  # lanes replicated; col 0 is canonical
     l_prev = l_ref[:, :1]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
+    m_new = m_prev
+    for s in ss:
+        m_new = jnp.maximum(m_new, jnp.max(s, axis=1, keepdims=True))
     alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
-    l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+    ps = [jnp.exp(s - m_new) for s in ss]
+    l_new = l_prev * alpha
+    for p in ps:
+        l_new = l_new + jnp.sum(p, axis=1, keepdims=True)
     m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
     l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
-    acc_ref[...] = acc_ref[...] * alpha + _dot(p.astype(q.dtype), v,
-                                               ((1,), (0,)), q.dtype)
+    acc = acc_ref[...] * alpha
+    for p, vr in zip(ps, v_refs):
+        acc = acc + _dot(p.astype(q.dtype), vr[...], ((1,), (0,)), q.dtype)
+    acc_ref[...] = acc
 
     @pl.when(ki == nk - 1)
     def _finalize():
@@ -274,11 +307,13 @@ def _fwd_kernel_streamed(q_ref, k_ref, v_ref, *rest, scale: float,
 
 
 def _forward(qb, kb, vb, scale, block_q, block_kv, kv_len, out_dtype,
-             diet: bool = True, k_major: bool = False):
+             diet: bool = True, k_major: bool = False, group: int = 1):
     # ``k_major``: kb arrives (BH, D, Skv_pad) — transposed once at the XLA
     # level by the caller — so every kernel score matmul sees the rhs in the
     # MXU-native (contract-on-dim-0) orientation instead of paying an
     # in-VMEM transpose of each (Bkv, D) block.
+    # ``group``: kv blocks fetched per streamed grid step (buffers must be
+    # padded to ``group * block_kv``); see _fwd_kernel_streamed.
     bh, sq_pad, d = qb.shape
     skv_pad = kb.shape[1] if not k_major else kb.shape[2]
     itemsize = jnp.dtype(qb.dtype).itemsize
@@ -325,32 +360,48 @@ def _forward(qb, kb, vb, scale, block_q, block_kv, kv_len, out_dtype,
             interpret=_interpret(),
         )(qb, kb, vb)
 
-    grid = (bh, sq_pad // block_q, skv_pad // block_kv)
+    n = group
+    assert skv_pad % (n * block_kv) == 0
+    grid = (bh, sq_pad // block_q, skv_pad // (n * block_kv))
     masked = skv_pad != kv_len
-    k_spec = (pl.BlockSpec((None, d, block_kv), lambda i, j, ki: (i, 0, ki),
-                           memory_space=pltpu.VMEM) if k_major else
-              pl.BlockSpec((None, block_kv, d), lambda i, j, ki: (i, ki, 0),
-                           memory_space=pltpu.VMEM))
+
+    def k_spec(off):
+        if k_major:
+            return pl.BlockSpec((None, d, block_kv),
+                                lambda i, j, ki, off=off: (i, 0, n * ki + off),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((None, block_kv, d),
+                            lambda i, j, ki, off=off: (i, n * ki + off, 0),
+                            memory_space=pltpu.VMEM)
+
+    def v_spec(off):
+        return pl.BlockSpec((None, block_kv, d),
+                            lambda i, j, ki, off=off: (i, n * ki + off, 0),
+                            memory_space=pltpu.VMEM)
+
     in_specs = [
         pl.BlockSpec((None, block_q, d), lambda i, j, ki: (i, j, 0),
                      memory_space=pltpu.VMEM),
-        k_spec,
-        pl.BlockSpec((None, block_kv, d), lambda i, j, ki: (i, ki, 0),
-                     memory_space=pltpu.VMEM),
+        *[k_spec(off) for off in range(n)],
+        *[v_spec(off) for off in range(n)],
     ]
-    operands = [qb, kb, vb]
+    # the same kb/vb buffer backs all n K (resp. V) operands; each operand's
+    # BlockSpec walks a different offset within the group stride, so every
+    # block is still fetched exactly once
+    operands = [qb, *([kb] * n), *([vb] * n)]
     if masked and diet:
         # additive mask: 0 on real columns, -inf on padding (8 sublanes to
         # satisfy the TPU block layout; the kernel reads row 0)
         bias = jnp.where(jnp.arange(skv_pad) < kv_len,
                          0.0, _NEG_INF).astype(jnp.float32)
         operands.append(jnp.broadcast_to(bias[None, :], (8, skv_pad)))
-        in_specs.append(pl.BlockSpec((8, block_kv), lambda i, j, ki: (0, ki),
+        in_specs.append(pl.BlockSpec((8, n * block_kv),
+                                     lambda i, j, ki: (0, ki),
                                      memory_space=pltpu.VMEM))
     return pl.pallas_call(
         functools.partial(_fwd_kernel_streamed, scale=scale, kv_len=kv_len,
                           block_kv=block_kv, masked=masked, diet=diet,
-                          k_major=k_major),
+                          group=n, k_major=k_major),
         grid=grid,
         in_specs=in_specs,
         out_specs=(
@@ -500,36 +551,39 @@ def _backward(qb, kb, vb, ob, dob, lse, scale, block_q, block_kv, kv_len):
 
 # ================================================================ public
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash(q, k, v, scale, block_q, block_kv, diet, k_major):
-    out, _ = _flash_fwd_res(q, k, v, scale, block_q, block_kv, diet, k_major)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash(q, k, v, scale, block_q, block_kv, diet, k_major, group):
+    out, _ = _flash_fwd_res(q, k, v, scale, block_q, block_kv, diet, k_major,
+                            group)
     return out
 
 
 def _flash_fwd_res(q, k, v, scale, block_q, block_kv, diet=True,
-                   k_major=False):
+                   k_major=False, group=1):
     b, sq, h, d = q.shape
     kv_len = k.shape[1]
     qb = _pad_to(_to_bh(q), 1, block_q)
-    kb = _pad_to(_to_bh(k), 1, block_kv)
-    vb = _pad_to(_to_bh(v), 1, block_kv)
+    kb = _pad_to(_to_bh(k), 1, group * block_kv)
+    vb = _pad_to(_to_bh(v), 1, group * block_kv)
     # one XLA-level transpose (HBM read+write of KV, ~µs against the
     # attention itself) buys every kernel step an MXU-native rhs
     kb_in = kb.transpose(0, 2, 1) if k_major else kb
     ob, lse = _forward(qb, kb_in, vb, scale, block_q, block_kv, kv_len,
-                       q.dtype, diet, k_major)
+                       q.dtype, diet, k_major, group)
     return _from_bh(ob, b, h, sq), (qb, kb, vb, ob, lse)
 
 
-def _flash_vjp_fwd(q, k, v, scale, block_q, block_kv, diet, k_major):
+def _flash_vjp_fwd(q, k, v, scale, block_q, block_kv, diet, k_major, group):
     out, res = _flash_fwd_res(q, k, v, scale, block_q, block_kv, diet,
-                              k_major)
+                              k_major, group)
     b, sq, h, _ = q.shape
     kv_len = k.shape[1]
     return out, (res, (b, sq, h, kv_len))
 
 
-def _flash_vjp_bwd(scale, block_q, block_kv, diet, k_major, carry, g):
+def _flash_vjp_bwd(scale, block_q, block_kv, diet, k_major, group, carry, g):
+    # group shapes only the forward fetch pattern; the backward grids run on
+    # plain block_kv blocks (a group-multiple pad is also a block multiple)
     (qb, kb, vb, ob, lse), (b, sq, h, kv_len) = carry
     sq_pad = qb.shape[1]
     # zero-pad the cotangent and +inf the padded-row lse so padded q rows
@@ -556,7 +610,7 @@ def _check_layout(q):
 def flash_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     block_q: int = _BLOCK_Q, block_kv: int = _BLOCK_KV, diet: bool = True,
-    k_major: bool | None = None,
+    k_major: bool | None = None, group: int | None = None,
 ) -> jnp.ndarray:
     """Flash attention, (B, S, H, D) layout, full (unmasked) attention,
     differentiable (custom flash backward kernels). KV is streamed from HBM
@@ -564,14 +618,17 @@ def flash_attention(
     ``diet`` applies the forward VPU diet (q-prescale + additive pad mask);
     exact for fp32, one standard q-rounding for bf16. ``k_major`` feeds the
     kernels a (D, S)-transposed K (bitwise-identical math, different
-    layout); ``None`` uses the swept per-path default."""
+    layout); ``None`` uses the swept per-path default. ``group`` overrides
+    the streamed kv-blocks-per-grid-step count (``None``: planned)."""
     _check_layout(q)
-    block_q, block_kv = _plan_blocks(
+    block_q, block_kv, group_p = _plan_blocks(
         q.shape[1], k.shape[1], q.shape[-1], jnp.dtype(q.dtype).itemsize,
         block_q, block_kv)
+    if group is None:
+        group = group_p
     if k_major is None:
         k_major = _K_MAJOR_DEFAULT
-    return _flash(q, k, v, scale, block_q, block_kv, diet, k_major)
+    return _flash(q, k, v, scale, block_q, block_kv, diet, k_major, group)
 
 
 def flash_attention_with_lse(
@@ -587,13 +644,14 @@ def flash_attention_with_lse(
     _check_layout(q)
     b, sq, h, d = q.shape
     kv_len = k.shape[1]
-    block_q, block_kv = _plan_blocks(sq, kv_len, d,
-                                     jnp.dtype(q.dtype).itemsize,
-                                     block_q, block_kv)
+    block_q, block_kv, group = _plan_blocks(sq, kv_len, d,
+                                            jnp.dtype(q.dtype).itemsize,
+                                            block_q, block_kv)
     qb = _pad_to(_to_bh(q), 1, block_q)
-    kb = _pad_to(_to_bh(k), 1, block_kv)
-    vb = _pad_to(_to_bh(v), 1, block_kv)
-    ob, lse = _forward(qb, kb, vb, scale, block_q, block_kv, kv_len, q.dtype)
+    kb = _pad_to(_to_bh(k), 1, group * block_kv)
+    vb = _pad_to(_to_bh(v), 1, group * block_kv)
+    ob, lse = _forward(qb, kb, vb, scale, block_q, block_kv, kv_len, q.dtype,
+                       group=group)
     out = _from_bh(ob, b, h, sq)
     lse_bsh = lse[:, 0, :sq].reshape(b, h, sq).transpose(0, 2, 1)
     return out, lse_bsh
@@ -613,9 +671,9 @@ def flash_attention_bwd(
     _check_layout(q)
     b, sq, h, d = q.shape
     kv_len = k.shape[1]
-    block_q, block_kv = _plan_blocks(sq, kv_len, d,
-                                     jnp.dtype(q.dtype).itemsize,
-                                     block_q, block_kv)
+    block_q, block_kv, _ = _plan_blocks(sq, kv_len, d,
+                                        jnp.dtype(q.dtype).itemsize,
+                                        block_q, block_kv)
     qb = _pad_to(_to_bh(q), 1, block_q)
     kb = _pad_to(_to_bh(k), 1, block_kv)
     vb = _pad_to(_to_bh(v), 1, block_kv)

@@ -154,6 +154,38 @@ def test_flash_streamed_diet_matches_xla(monkeypatch):
 
 
 @pytest.mark.slow
+def test_flash_grouped_stream_matches_xla(monkeypatch):
+    """The grouped streamed kernel (round 4: `group` independent KV blocks
+    per grid step, hoisted score matmuls, ONE combined online-softmax
+    update) must match XLA — with a ragged final block sliced per sub-block
+    from the additive bias (diet), with the iota mask (non-diet), on the
+    exact group-multiple (unmasked) shape, and through the custom-vjp
+    backward, whose residuals are padded to the group multiple."""
+    from chronoedit_tpu.ops import flash_attention as fa
+
+    monkeypatch.setattr(fa, "_RESIDENT_KV_BYTES", 1)
+    s = 384
+    ks = jax.random.split(jax.random.PRNGKey(13), 3)
+    q, k, v = [jax.random.normal(kk, (1, s, 2, 128), jnp.float32)
+               for kk in ks]
+    ref = dot_product_attention(q, k, v, backend="xla")
+    # group=2: 384 pads to 512 -> masked grouped blocks (bias sub-slices)
+    # group=3: 384 = 3*128 exactly -> unmasked grouped path
+    for group, diet in [(2, True), (2, False), (3, True)]:
+        got = fa.flash_attention(q, k, v, scale=128 ** -0.5, block_q=128,
+                                 block_kv=128, diet=diet, group=group)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5,
+            err_msg=f"group={group} diet={diet}")
+    g1 = jax.grad(lambda a: jnp.sum(fa.flash_attention(
+        a, k, v, scale=128 ** -0.5, block_q=128, block_kv=128,
+        group=2) ** 2))(q)
+    g2 = jax.grad(lambda a: jnp.sum(
+        dot_product_attention(a, k, v, backend="xla") ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)
+
+
+@pytest.mark.slow
 def test_flash_k_major_bitwise_matches_row_major(monkeypatch):
     """The k-major layout (K fed to the kernels as (D, S), round 4) is a
     pure layout change — fwd must be BITWISE identical to the row-major

@@ -78,7 +78,8 @@ def _pick_blocks(sq: int, kv_len: int, block_q: int, block_kv: int):
 
 
 def _plan_blocks(sq: int, skv: int, d: int, itemsize: int,
-                 block_q: int, block_kv: int) -> tuple[int, int, int]:
+                 block_q: int, block_kv: int,
+                 group: int | None = None) -> tuple[int, int, int]:
     """Final ``(block_q, block_kv, group)``, decided BEFORE padding.
 
     The resident path caps q blocks at 256 and only needs 128-aligned KV;
@@ -88,9 +89,11 @@ def _plan_blocks(sq: int, skv: int, d: int, itemsize: int,
     grids stay consistent (the backward reuses ``block_kv`` alone — a
     group-multiple pad is also a block multiple).
 
-    ``group > 1`` engages the grouped streamed kernel (round 4): only at
-    the full-scale streamed default — explicit small test blocks and
-    resident shapes keep group 1."""
+    ``group=None`` plans the grouped streamed kernel (round 4) at the
+    full-scale streamed default — explicit small test blocks and resident
+    shapes keep group 1. An explicit ``group`` is honored verbatim with the
+    caller's block sizes (e.g. ``group=1, block_kv=1024`` is the ungrouped
+    baseline for A/Bs)."""
     # decide residency from the size the buffers will actually be padded to
     # (the resident path's kv block), so this check and _forward's re-check
     # agree — a 128-aligned check here with 256-padding there sent gap shapes
@@ -101,6 +104,8 @@ def _plan_blocks(sq: int, skv: int, d: int, itemsize: int,
         bq = 256 if sq >= 256 else 128
         return min(block_q, bq), bkv, 1
     bq, bkv = _pick_blocks(sq, skv, block_q, block_kv)
+    if group is not None:
+        return bq, bkv, max(group, 1)
     if bkv == _BLOCK_KV:  # full-scale stream (skv > resident ceiling)
         return bq, _STREAM_BKV, _STREAM_GROUP
     return bq, bkv, 1
@@ -619,13 +624,12 @@ def flash_attention(
     exact for fp32, one standard q-rounding for bf16. ``k_major`` feeds the
     kernels a (D, S)-transposed K (bitwise-identical math, different
     layout); ``None`` uses the swept per-path default. ``group`` overrides
-    the streamed kv-blocks-per-grid-step count (``None``: planned)."""
+    the streamed kv-blocks-per-grid-step count (``None``: planned; explicit
+    values keep the caller's block sizes)."""
     _check_layout(q)
-    block_q, block_kv, group_p = _plan_blocks(
+    block_q, block_kv, group = _plan_blocks(
         q.shape[1], k.shape[1], q.shape[-1], jnp.dtype(q.dtype).itemsize,
-        block_q, block_kv)
-    if group is None:
-        group = group_p
+        block_q, block_kv, group)
     if k_major is None:
         k_major = _K_MAJOR_DEFAULT
     return _flash(q, k, v, scale, block_q, block_kv, diet, k_major, group)

@@ -34,7 +34,10 @@ def readback_overhead():
 def sweep(B, S, H=40, D=128, iters=5):
     """Sweep (block_q, block_kv) at a (batch, seq) self-attention shape.
     S=7200 is the 720p edit sequence (resident-KV path); S=28800 the
-    29-frame reasoning sequence (streamed-KV path)."""
+    29-frame reasoning sequence (streamed-KV path). Forces group=1 so the
+    raw block sizes are what's measured — the production default is the
+    grouped streamed fetch (3x512; A/B it with --group-ab, full n-by-block
+    table in tools/exp_flash_paired.py)."""
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     q = jax.random.normal(ks[0], (B, S, H, D), jnp.bfloat16)
     k = jax.random.normal(ks[1], (B, S, H, D), jnp.bfloat16)
@@ -50,7 +53,8 @@ def sweep(B, S, H=40, D=128, iters=5):
             try:
                 f = jax.jit(lambda q, k, v, bq=bq, bkv=bkv: jnp.sum(
                     flash_attention(q, k, v, scale=scale, block_q=bq,
-                                    block_kv=bkv).astype(jnp.float32)))
+                                    block_kv=bkv,
+                                    group=1).astype(jnp.float32)))
                 s0 = float(f(q, k, v))
                 if ref is None:
                     ref = s0
@@ -158,6 +162,42 @@ def kt_ab(B, S, H=40, D=128, iters=8, reps=20):
               flush=True)
 
 
+def group_ab(B, S, H=40, D=128, iters=8, reps=20):
+    """A/B the grouped streamed fetch (planned default, 3x512) against the
+    ungrouped 1x1024 stream at a given shape, scan-chained timing."""
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, S, H, D), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (B, S, H, D), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (B, S, H, D), jnp.bfloat16)
+    scale = D ** -0.5
+    flops = 4 * B * H * S * S * D
+    print(f"== group A/B: B={B} S={S}", flush=True)
+
+    def timed(group, n):
+        @jax.jit
+        def run(q, k, v):
+            def body(c, _):
+                o = flash_attention(c, k, v, scale=scale, group=group)
+                return c + 1e-6, jnp.sum(o.astype(jnp.float32))
+
+            return jnp.sum(jax.lax.scan(body, q, None, length=n)[1])
+
+        for _ in range(2):
+            s = float(run(q, k, v))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s = float(run(q, k, v))
+        assert s == s
+        return (time.perf_counter() - t0) / iters
+
+    for group in (1, None):  # 1 = ungrouped; None = planned default
+        t_long = timed(group, reps)
+        t_short = timed(group, reps // 2)
+        dt = (t_long - t_short) / (reps - reps // 2)
+        print(f"group={group}: {dt * 1e3:7.2f} ms/call "
+              f"({flops / dt / 1e12:6.1f} TFLOP/s)", flush=True)
+
+
 def main():
     import argparse
 
@@ -169,7 +209,15 @@ def main():
                         "block sweep")
     p.add_argument("--kt-ab", action="store_true",
                    help="A/B the k-major K layout instead of the block sweep")
+    p.add_argument("--group-ab", action="store_true",
+                   help="A/B the grouped streamed fetch vs ungrouped")
     a = p.parse_args()
+    if a.group_ab:
+        if a.shapes in ("edit", "both"):
+            group_ab(2, 7200)
+        if a.shapes in ("reasoning", "both"):
+            group_ab(2, 28800, iters=3, reps=8)
+        return
     if a.kt_ab:
         if a.shapes in ("edit", "both"):
             kt_ab(2, 7200)

@@ -39,13 +39,24 @@ one chip) plus *measured* collective volume:
 - deployment-mesh choice is gated on the FULL serving program (denoise scan
   + VAE decode in one jit) compiling within v5e HBM, per weight precision.
 
-Wall-time discipline (round-3, VERDICT #1 — BENCH_r02 died at the driver's
-limit with no JSON emitted):
+Wall-time discipline (rounds 3-5; VERDICT r4 #1 — three straight driver
+runs ended with nothing parseable):
 
+- the bench prints MANY JSON lines: one within seconds of start (the
+  previous run's BENCH_DETAIL.json re-emitted with ``partial: true``),
+  one after every completed stage (current best partial assembly), and
+  the final full line at exit. The driver takes the LAST line, so any
+  kill after the first seconds still leaves a scoreboard;
 - every stage runs under one global deadline (CHRONOEDIT_BENCH_BUDGET_S,
-  default 2100 s — the driver's kill appears to be ~2700 s, r2 memory);
+  default 1500 s — r4's driver kill landed before the old 2100+180 alarm);
   AOT-walk subprocesses get ``min(cap, remaining)`` timeouts and are
   skipped outright when the budget is nearly spent;
+- compile-service flakes (remote_compile HTTP 500) are NOT treated as
+  HBM OOM: one cooldown retry, then the stage is skipped without marking
+  the depth infeasible and without descending the depth ladder (r4's
+  driver run died re-probing 14B ladders on HTTP 500s);
+- cold depth probes (depths not already known feasible) are capped per
+  family per run, so one run can never re-derive a whole ladder;
 - feasibility/collective results persist to ``bench_cache.json`` — the
   expensive uncachable compiles are the *failed* (HBM-infeasible) ones,
   which the XLA persistent cache cannot help with; repeat runs skip them
@@ -53,10 +64,13 @@ limit with no JSON emitted):
   committed after every bench run, including learnings from the driver's
   end-of-round run (its snapshot commit picks them up) — builder and
   driver share one view of what is known. Single-chip e2e feasibility
-  entries additionally store a hash of the quant/DiT source files and are
-  ignored when the code changes, so a fixed path is re-measured instead of
-  being skipped forever (VERDICT r3 weak #3);
-- a SIGALRM fires ``budget + 180 s`` in as a last resort and emits the best
+  entries are stamped with FEASIBILITY_EPOCH (a manually-bumped int —
+  bump it when quant/DiT/pipeline/VAE/kernel changes can alter HBM
+  feasibility); tests/test_bench_assemble.py fails when committed cache
+  entries don't match the tree's epoch, so a stale cache is
+  uncommittable (r4's source-hash keying silently invalidated the whole
+  cache 20 minutes before the driver ran);
+- a SIGALRM fires ``budget + 60 s`` as a last resort and emits the best
   line assemblable from whatever has been measured (``partial: true``);
 - after printing, the process hard-exits (os._exit) so straggler compile
   subprocesses cannot hold the exit.
@@ -103,7 +117,7 @@ _WIRE_FACTOR = {
 }
 
 _T0 = time.monotonic()
-BUDGET_S = float(os.environ.get("CHRONOEDIT_BENCH_BUDGET_S", 2100))
+BUDGET_S = float(os.environ.get("CHRONOEDIT_BENCH_BUDGET_S", 1500))
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _CACHE_PATH = os.path.join(_HERE, "bench_cache.json")
 # bump when the sharded program materially changes (new collectives/kernels):
@@ -176,6 +190,42 @@ def _emit(obj: dict) -> None:
     print(json.dumps(_shorten(obj)), flush=True)
 
 
+def _emit_early() -> None:
+    """VERDICT r4 #1(a): print a parseable line within seconds of start —
+    the previous run's BENCH_DETAIL.json re-shortened with ``partial``/
+    ``stale_from_previous_run`` flags. The driver takes the LAST JSON line
+    on stdout, so every later emit supersedes this one; a kill at any point
+    after startup still leaves a scoreboard (r2/r3/r4 all left none)."""
+    try:
+        with open(os.path.join(_HERE, "BENCH_DETAIL.json")) as f:
+            prev = json.load(f)
+        if prev.get("value") is None:
+            return
+        line = _shorten(prev)
+        line["partial"] = True
+        line["stale_from_previous_run"] = True
+        print(json.dumps(line), flush=True)
+    except Exception:  # no previous detail — nothing to pre-emit
+        pass
+
+
+def _emit_progress() -> None:
+    """Reprint the current best partial line after each completed stage so
+    the driver's capture always ends near a parseable scoreboard, and
+    persist feasibility learnings incrementally (a kill must not lose
+    them)."""
+    if _PRINTED:
+        return
+    try:
+        obj = _assemble(PARTIAL)
+        line = _shorten(obj)
+        line["partial"] = True
+        print(json.dumps(line), flush=True)
+    except Exception as e:  # pragma: no cover - progress is best-effort
+        print(f"[bench] progress emit failed: {e}", file=sys.stderr)
+    _save_cache()
+
+
 # ------------------------------------------------------------------ cache
 
 def _load_cache() -> dict:
@@ -193,49 +243,124 @@ _CACHE = _load_cache()
 _CACHE_DIRTY = False
 
 
-def _code_hash() -> str:
-    """Hash of the sources that determine single-chip e2e feasibility.
-    Feasibility cache entries (int4_e2e_40, int8_e2e_depth) are only honored
-    when this matches — a fix to the quant/DiT path forces a re-probe
-    instead of being skipped forever (VERDICT r3 weak #3)."""
-    import hashlib
-
-    h = hashlib.sha256()
-    for rel in ("chronoedit_tpu/ops/quant.py", "chronoedit_tpu/models/dit.py",
-                "chronoedit_tpu/pipeline/edit_pipeline.py",
-                "chronoedit_tpu/models/vae.py",
-                # the kernels compiled into those programs bill VMEM/HBM too
-                "chronoedit_tpu/ops/flash_attention.py",
-                "chronoedit_tpu/ops/fused_norms.py",
-                "chronoedit_tpu/ops/int4_matmul.py"):
-        try:
-            with open(os.path.join(_HERE, rel), "rb") as f:
-                h.update(f.read())
-        except OSError:
-            h.update(rel.encode())
-    return h.hexdigest()[:16]
-
-
-_CODE_HASH = _code_hash()
+# Feasibility epoch (VERDICT r4 #1c): bump this int MANUALLY whenever a
+# change to the quant/DiT/pipeline/VAE source or the Pallas kernels can
+# alter single-chip HBM feasibility, then re-run bench.py to re-stamp the
+# depth ladders. The old scheme (a hash of 7 source files) invalidated the
+# whole cache on perf-neutral edits — r4's driver run cold-re-probed every
+# ladder and was killed with nothing parseable. A fast-tier test
+# (tests/test_bench_assemble.py::test_bench_cache_epoch_matches_tree) fails
+# when committed bench_cache.json entries don't match this value, making a
+# stale cache uncommittable.
+FEASIBILITY_EPOCH = 5
 
 
 def _feasibility_entry(key: str) -> dict:
-    """Cached e2e feasibility entry, empty if the quant/DiT code changed."""
+    """Cached e2e feasibility entry, empty if stamped at an older epoch."""
     hist = dict(_CACHE.get(key, {}))
-    if hist.get("code") != _CODE_HASH:
-        return {"code": _CODE_HASH}
+    if hist.get("epoch") != FEASIBILITY_EPOCH:
+        return {"epoch": FEASIBILITY_EPOCH}
     return hist
 
 
 def _save_cache() -> None:
+    global _CACHE_DIRTY
     if not _CACHE_DIRTY:
         return
     try:
         with open(_CACHE_PATH, "w") as f:
             json.dump({"version": _CACHE_VERSION, "entries": _CACHE}, f,
                       indent=1, sort_keys=True)
+        _CACHE_DIRTY = False
     except Exception as e:  # pragma: no cover
         print(f"[bench] cache save failed: {e}", file=sys.stderr)
+
+
+# ---------------------------------------------- failure triage + probe caps
+
+def _classify_failure(e: Exception) -> str:
+    """Triage a failed e2e attempt (VERDICT r4 #1b).
+
+    'oom'   — the runtime proved the program doesn't fit: descend the ladder
+              and remember the depth as infeasible.
+    'infra' — the tunneled compile service flaked (remote_compile HTTP 500 /
+              tpu_compile_helper exit). Says NOTHING about HBM: r4's driver
+              died descending a 14B depth ladder, one multi-minute compile
+              per rung, on HTTP 500s. Retry once after a cooldown, then skip
+              WITHOUT marking infeasible and WITHOUT descending.
+    'other' — a real bug; stop the family and report."""
+    s = str(e)
+    if "RESOURCE_EXHAUSTED" in s:
+        return "oom"
+    if ("remote_compile" in s or "HTTP 5" in s
+            or "tpu_compile_helper" in s):
+        return "infra"
+    return "other"
+
+
+# Cold probes = e2e attempts at depths not already known feasible (each one
+# is a multi-minute 14B compile when the XLA cache is cold). Cap them per
+# feasibility-cache family per run so one bench run can never re-derive a
+# whole ladder inside the driver's kill window (VERDICT r4 #1d). Climbing
+# toward deeper depths resumes across runs: feasibility persists, so each
+# run pays at most _COLD_CAP rungs and starts where the last one ended.
+_COLD_PROBES: dict[str, int] = {}
+_COLD_CAP = 2
+
+
+def _cold_allowed(family: str) -> bool:
+    return _COLD_PROBES.get(family, 0) < _COLD_CAP
+
+
+def _note_cold(family: str) -> None:
+    _COLD_PROBES[family] = _COLD_PROBES.get(family, 0) + 1
+
+
+def _attempt_e2e(family: str, hist: dict, cache_key: str, layers: int,
+                 **pipeline_kwargs) -> tuple[dict | None, str]:
+    """One e2e measurement try with infra-error quarantine.
+
+    Returns ``(result, status)``, status in {'ok', 'oom', 'infra', 'other'}.
+    Updates the feasibility entry ('feasible' on success, 'infeasible' list
+    on a genuine OOM; infra flakes record nothing)."""
+    global _CACHE_DIRTY
+    for retry in (False, True):
+        failure = None
+        try:
+            res = bench_e2e_pipeline_s(layers=layers, **pipeline_kwargs)
+            hist["feasible"] = layers
+            _CACHE[cache_key] = hist
+            _CACHE_DIRTY = True
+            return res, "ok"
+        except Exception as e:  # noqa: BLE001 - the line must still print
+            failure = (_classify_failure(e), type(e).__name__, str(e)[:300])
+        # outside the except block: inside it, e.__traceback__ pins the
+        # failed attempt's on-device params and nothing frees (r4 rehearsal)
+        _release_device_memory()
+        kind, ename, emsg = failure
+        if kind == "infra" and not retry and _remaining() > 240:
+            print(f"[bench] {family} at {layers} layers: infra flake "
+                  f"({emsg[:120]}); cooling down 20 s, one retry",
+                  file=sys.stderr)
+            time.sleep(20)
+            continue
+        if kind == "oom":
+            infeasible = set(hist.get("infeasible", []))
+            infeasible.add(layers)
+            hist["infeasible"] = sorted(infeasible)
+            _CACHE[cache_key] = hist
+            _CACHE_DIRTY = True
+            print(f"[bench] {family} OOM at {layers} layers "
+                  f"({emsg[:120]})", file=sys.stderr)
+        elif kind == "infra":
+            print(f"[bench] {family} at {layers} layers: infra flake "
+                  "persisted; skipping (NOT marked infeasible)",
+                  file=sys.stderr)
+        else:
+            print(f"[bench] {family} failed at {layers} layers: "
+                  f"{ename}: {emsg}", file=sys.stderr)
+        return None, kind
+    return None, "infra"  # pragma: no cover - loop always returns
 
 
 # ------------------------------------------------------- single-chip timing
@@ -486,46 +611,29 @@ def bench_e2e_int8_deepest() -> dict | None:
     deepest fitting depth and say so')."""
     # ~15.75 GB usable HBM minus VAE params, pipeline activations and
     # compile workspace at 720p (~2.5 GB measured headroom needed)
-    global _CACHE_DIRTY
     weight_budget = 13.2e9
     hist = _feasibility_entry("int8_e2e_depth")
-    infeasible = set(hist.get("infeasible", []))
+    known = hist.get("feasible")
     for layers in range(40, 7, -4):
-        if quantized_dit_bytes(layers) > weight_budget or layers in infeasible:
+        if (quantized_dit_bytes(layers) > weight_budget
+                or layers in set(hist.get("infeasible", []))):
             continue
+        cold = layers != known
+        if cold and not _cold_allowed("int8_e2e_depth"):
+            print("[bench] int8 e2e: cold-probe cap reached", file=sys.stderr)
+            return None
         if _remaining() < 300:
             print(f"[bench] skipping int8 e2e at {layers} layers "
                   "(deadline)", file=sys.stderr)
             return None
-        failure = None
-        try:
-            res = bench_e2e_pipeline_s(layers=layers, quantize=True)
-            hist["feasible"] = layers
-            _CACHE["int8_e2e_depth"] = hist
-            _CACHE_DIRTY = True
+        if cold:
+            _note_cold("int8_e2e_depth")
+        res, status = _attempt_e2e("int8 e2e", hist, "int8_e2e_depth",
+                                   layers, quantize=True)
+        if res is not None:
             return res
-        except Exception as e:
-            # the tunneled axon runtime surfaces compile-workspace OOMs as an
-            # opaque compile-helper HTTP 500 rather than RESOURCE_EXHAUSTED —
-            # treat both as "too deep" and probe shallower; remember the
-            # rejected depth so repeat runs skip the failing compile entirely
-            failure = (("RESOURCE_EXHAUSTED" in str(e)
-                        or "remote_compile" in str(e)),
-                       type(e).__name__, str(e)[:300])
-        # outside the except block so the traceback no longer pins the
-        # failed attempt's on-device params (see stage() above)
-        _release_device_memory()
-        oomish, ename, emsg = failure
-        if not oomish:
-            print(f"[bench] int8 e2e failed at {layers} layers: "
-                  f"{ename}: {emsg}", file=sys.stderr)
+        if status != "oom":
             return None
-        print(f"[bench] int8 e2e OOM-ish at {layers} layers "
-              f"({emsg[:120]}); trying shallower", file=sys.stderr)
-        infeasible.add(layers)
-        hist["infeasible"] = sorted(infeasible)
-        _CACHE["int8_e2e_depth"] = hist
-        _CACHE_DIRTY = True
     return None
 
 
@@ -545,15 +653,14 @@ def bench_e2e_reasoning_deepest(cache: bool = False,
     (int4 storage, per-column-int8 requantized compute): ~0.23 GB/layer of
     weights vs int8's ~0.51, so the measured reasoning depth climbs — the
     capacity lever for the activation-dominated 28.8k-token regime."""
-    global _CACHE_DIRTY
     tag = {"int8": "int8", "int4_a8": "int4a8"}[mode]
     # separate feasibility key when the cache is engaged: the delta carry
     # bills extra HBM, and an OOM there must not mark the uncached depth
     # infeasible (round-4 review)
     key = f"{tag}_reason_depth" + ("_cached" if cache else "")
     hist = _feasibility_entry(key)
-    infeasible = set(hist.get("infeasible", []))
-    start = (hist.get("feasible")
+    known = hist.get("feasible")
+    start = (known
              or _feasibility_entry(f"{tag}_reason_depth").get("feasible"))
     if start is None:
         int8_known = (_feasibility_entry("int8_reason_depth").get("feasible")
@@ -571,65 +678,52 @@ def bench_e2e_reasoning_deepest(cache: bool = False,
             while (start + 4 <= 40 and
                    quantized_dit_bytes(start + 4, mode=mode) <= budget):
                 start += 4
-    def attempt(layers: int) -> tuple[dict | None, bool]:
-        """One measurement try; returns (result, oomish)."""
-        global _CACHE_DIRTY
-        failure = None
-        try:
-            res = bench_e2e_pipeline_s(
-                layers=layers, quantize=mode, reasoning=True,
-                cache=((layers // 5, layers - layers // 5), 2) if cache
-                else None)
-            hist["feasible"] = layers
-            _CACHE[key] = hist
-            _CACHE_DIRTY = True
-            return res, False
-        except Exception as e:
-            failure = (("RESOURCE_EXHAUSTED" in str(e)
-                        or "remote_compile" in str(e)),
-                       type(e).__name__, str(e)[:300])
-        _release_device_memory()  # outside except: see stage()
-        oomish, ename, emsg = failure
-        if oomish:
-            infeasible.add(layers)
-            hist["infeasible"] = sorted(infeasible)
-            _CACHE[key] = hist
-            _CACHE_DIRTY = True
-        else:
-            print(f"[bench] reasoning e2e failed at {layers} layers: "
-                  f"{ename}: {emsg}", file=sys.stderr)
-        return None, oomish
+
+    def attempt(layers: int) -> tuple[dict | None, str]:
+        return _attempt_e2e(
+            f"reasoning e2e [{key}]", hist, key, layers,
+            quantize=mode, reasoning=True,
+            cache=((layers // 5, layers - layers // 5), 2) if cache
+            else None)
 
     res = None
     for layers in range(start, 7, -4):
         if (quantized_dit_bytes(layers, mode=mode) > 13.2e9
-                or layers in infeasible):
+                or layers in set(hist.get("infeasible", []))):
             continue
+        cold = layers != known
+        if cold and not _cold_allowed(key):
+            print(f"[bench] reasoning e2e [{key}]: cold-probe cap reached",
+                  file=sys.stderr)
+            return None
         if _remaining() < 420:
             print(f"[bench] skipping reasoning e2e at {layers} layers "
                   "(deadline)", file=sys.stderr)
             return None
-        res, oomish = attempt(layers)
+        if cold:
+            _note_cold(key)
+        res, status = attempt(layers)
         if res is not None:
             break
-        if not oomish:
+        if status != "oom":
             return None
-        print(f"[bench] reasoning e2e OOM-ish at {layers} layers; "
-              "trying shallower", file=sys.stderr)
+        print(f"[bench] reasoning e2e descending below {layers}",
+              file=sys.stderr)
     if res is None:
         return None
     # climb upward (round 4): the weight-budget seed is conservative — a
     # first-try success (e.g. w4a8 at its seeded depth 28) leaves deeper
-    # depths unexplored. Probe +4 while weights plausibly fit and the
-    # deadline allows; feasibility persists, so later runs start directly
-    # at the deepest known-good depth and pay the climb only once.
+    # depths unexplored. Probe +4 while weights plausibly fit, the deadline
+    # allows, and the per-run cold cap isn't spent; feasibility persists, so
+    # each run pays at most _COLD_CAP rungs and resumes where the last ended.
     nxt = hist["feasible"] + 4
-    while (nxt <= 40 and nxt not in infeasible
+    while (nxt <= 40 and nxt not in set(hist.get("infeasible", []))
            and quantized_dit_bytes(nxt, mode=mode) <= 13.2e9
-           and _remaining() >= 900):
+           and _remaining() >= 900 and _cold_allowed(key)):
         print(f"[bench] reasoning e2e climbing to {nxt} layers",
               file=sys.stderr)
-        deeper, oomish = attempt(nxt)
+        _note_cold(key)
+        deeper, status = attempt(nxt)
         if deeper is None:
             break
         res = deeper
@@ -647,29 +741,15 @@ def bench_e2e_int4_full(mode: str = "int4") -> dict | None:
     tests/test_quant.py::test_int4_pipeline_psnr_gate resp.
     test_int4_a8_pipeline_psnr_gate. Feasibility persists to
     bench_cache.json like the int8 probe."""
-    global _CACHE_DIRTY
     cache_key = {"int4": "int4_e2e_40", "int4_a8": "int4a8_e2e_40"}[mode]
     hist = _feasibility_entry(cache_key)
     if hist.get("infeasible"):
-        print(f"[bench] cached: {mode} 40-layer e2e infeasible at this code "
-              "version", file=sys.stderr)
+        print(f"[bench] cached: {mode} 40-layer e2e infeasible at this "
+              "epoch", file=sys.stderr)
         return None
-    failure = None
-    try:
-        return bench_e2e_pipeline_s(layers=40, quantize=mode)
-    except Exception as e:
-        failure = (("RESOURCE_EXHAUSTED" in str(e)
-                    or "remote_compile" in str(e)),
-                   type(e).__name__, str(e)[:300])
-    _release_device_memory()  # outside except: see stage()
-    oomish, ename, emsg = failure
-    print(f"[bench] {mode} 40-layer e2e failed "
-          f"({'OOM-ish' if oomish else ename}): {emsg}", file=sys.stderr)
-    if oomish:
-        hist["infeasible"] = True
-        _CACHE[cache_key] = hist
-        _CACHE_DIRTY = True
-    return None
+    res, _status = _attempt_e2e(f"{mode} 40-layer e2e", hist, cache_key, 40,
+                                quantize=mode)
+    return res
 
 
 # ------------------------------------------------- sharded-program metrics
@@ -1045,7 +1125,10 @@ def _alarm_handler(signum, frame):  # pragma: no cover - last resort
 
 def main():
     signal.signal(signal.SIGALRM, _alarm_handler)
-    signal.alarm(int(BUDGET_S) + 180)
+    signal.alarm(int(BUDGET_S) + 60)
+
+    # scoreboard insurance before any device work (VERDICT r4 #1a)
+    _emit_early()
 
     PARTIAL["device"] = str(jax.devices()[0])
 
@@ -1115,11 +1198,14 @@ def main():
         return None
 
     PARTIAL["dit1"] = stage("dit1", bench_dit_block_ms, batch=1)
+    _emit_progress()
     PARTIAL["dit1_q"] = stage("dit1_q", bench_dit_block_ms, batch=1,
                               quantize=True)
     _release_device_memory()
     PARTIAL["vae"] = stage("vae", bench_vae_s)
+    _emit_progress()
     PARTIAL["e2e_int8"] = stage("e2e_int8", bench_e2e_int8_deepest)
+    _emit_progress()
     # serving lever: Δ-DiT block cache at the measured int8 depth — middle
     # 60% of blocks reuse their cached token delta on odd steps. Runs
     # IMMEDIATELY after the int8 e2e it extends (same depth, warm VAE/embed
@@ -1135,6 +1221,7 @@ def main():
     # throughput recipe (replicate per chip, 8 independent requests/v5e-8)
     PARTIAL["e2e_int4_40"] = stage("e2e_int4_40", bench_e2e_int4_full,
                                    min_remaining=480)
+    _emit_progress()
     _release_device_memory()
     # int4 + Δ-cache composition: the best single-chip throughput recipe
     # (full model resident, cache trims the 40-block compute)
@@ -1149,11 +1236,13 @@ def main():
     PARTIAL["e2e_int4a8_40"] = stage(
         "e2e_int4a8_40", bench_e2e_int4_full, mode="int4_a8",
         min_remaining=480)
+    _emit_progress()
     _release_device_memory()
     if PARTIAL.get("e2e_int4a8_40"):
         PARTIAL["e2e_int4a8_40_cached"] = stage(
             "e2e_int4a8_40_cached", bench_e2e_pipeline_s, layers=40,
             quantize="int4_a8", cache=((8, 32), 2), min_remaining=420)
+    _emit_progress()
     _release_device_memory()
     # measured accelerated reasoning (VERDICT r3 #4): the 28.8k-token
     # trajectory e2e with int8 projections, then the same depth with the
@@ -1161,6 +1250,7 @@ def main():
     # reasoning serving estimate
     PARTIAL["e2e_reason"] = stage("e2e_reason", bench_e2e_reasoning_deepest,
                                   min_remaining=480)
+    _emit_progress()
     if PARTIAL.get("e2e_reason"):
         PARTIAL["e2e_reason_cached"] = stage(
             "e2e_reason_cached", bench_e2e_reasoning_deepest, cache=True,
@@ -1171,10 +1261,12 @@ def main():
     PARTIAL["e2e_reason_a8"] = stage(
         "e2e_reason_a8", bench_e2e_reasoning_deepest, mode="int4_a8",
         min_remaining=480)
+    _emit_progress()
     if PARTIAL.get("e2e_reason_a8"):
         PARTIAL["e2e_reason_a8_cached"] = stage(
             "e2e_reason_a8_cached", bench_e2e_reasoning_deepest, cache=True,
             mode="int4_a8", min_remaining=360)
+    _emit_progress()
     _release_device_memory()
     # extrapolation-model calibration inputs (VERDICT r3 #3): a shallow int4
     # e2e + the int4 per-block time let _assemble predict the 40-layer run
@@ -1189,6 +1281,7 @@ def main():
             min_remaining=360)
     _release_device_memory()
     PARTIAL["e2e"] = stage("e2e", bench_e2e_pipeline_s, min_remaining=240)
+    _emit_progress()
     PARTIAL["dit2"] = stage("dit2", bench_dit_block_ms, batch=2,
                             min_remaining=300)
     PARTIAL["dit_r"] = stage("dit_r", bench_dit_block_ms, batch=2, frames=8,
@@ -1196,6 +1289,7 @@ def main():
     PARTIAL["dit_r_q"] = stage("dit_r_q", bench_dit_block_ms, batch=2,
                                frames=8, iters=2, quantize=True,
                                min_remaining=300)
+    _emit_progress()
 
     # ---- gather the walk within what's left of the budget
     walk_deadline = max(_remaining() - 30, 0)

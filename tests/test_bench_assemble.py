@@ -185,6 +185,91 @@ def test_assemble_int4_blockcache_fields():
     assert "e2e_measured_s_1chip_40layer_int4_blockcache" in line["headline"]
 
 
+def test_bench_cache_epoch_matches_tree():
+    """VERDICT r4 #1c: a committed bench_cache.json stamped at an older
+    FEASIBILITY_EPOCH is dead weight the driver silently ignores — that is
+    exactly how BENCH_r04 cold-re-probed every depth ladder and died. Any
+    entry carrying feasibility state must match the tree's epoch, making a
+    stale cache uncommittable."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(bench.__file__)),
+                        "bench_cache.json")
+    with open(path) as f:
+        blob = json.load(f)
+    assert blob["version"] == bench._CACHE_VERSION
+    for key, entry in blob["entries"].items():
+        if isinstance(entry, dict) and ("feasible" in entry or "epoch" in entry):
+            assert entry.get("epoch") == bench.FEASIBILITY_EPOCH, (
+                f"bench_cache.json entry {key!r} is stamped epoch "
+                f"{entry.get('epoch')} but the tree is at "
+                f"{bench.FEASIBILITY_EPOCH}; re-run bench.py to re-stamp "
+                "(or delete the entry) before committing")
+
+
+def test_feasibility_entry_epoch_gating(monkeypatch):
+    old = bench.FEASIBILITY_EPOCH - 1
+    monkeypatch.setattr(bench, "_CACHE", {"k": {"epoch": old, "feasible": 20}})
+    assert bench._feasibility_entry("k") == {"epoch": bench.FEASIBILITY_EPOCH}
+    monkeypatch.setattr(
+        bench, "_CACHE",
+        {"k": {"epoch": bench.FEASIBILITY_EPOCH, "feasible": 20}})
+    assert bench._feasibility_entry("k")["feasible"] == 20
+
+
+def test_probe_infra_flake_quarantine(monkeypatch):
+    """VERDICT r4 #1b: a remote-compile HTTP 500 is an infra flake, not an
+    HBM OOM — one cooldown retry, then skip WITHOUT marking the depth
+    infeasible and WITHOUT descending the ladder (each rung is a
+    multi-minute 14B compile; r4's driver died exactly this way)."""
+    calls = []
+    fresh = {}
+    monkeypatch.setattr(bench, "_CACHE", fresh)
+    monkeypatch.setattr(bench, "_COLD_PROBES", {})
+    monkeypatch.setattr(bench, "_remaining", lambda: 1e9)
+    monkeypatch.setattr(bench, "_release_device_memory", lambda: None)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(bench, "quantized_dit_bytes",
+                        lambda layers, mode="int8": int(layers * 0.51e9))
+
+    def fake_pipeline(layers, quantize, **kw):
+        calls.append(layers)
+        raise RuntimeError(
+            "INTERNAL: http://127.0.0.1:8093/remote_compile: HTTP 500: "
+            "tpu_compile_helper subprocess exit code 1")
+
+    monkeypatch.setattr(bench, "bench_e2e_pipeline_s", fake_pipeline)
+    assert bench.bench_e2e_int8_deepest() is None
+    # one depth tried twice (the retry), never descended
+    assert calls == [calls[0], calls[0]] and len(calls) == 2
+    assert "infeasible" not in fresh.get("int8_e2e_depth", {})
+
+
+def test_probe_cold_cap_bounds_ladder_descent(monkeypatch):
+    """VERDICT r4 #1d: at most _COLD_CAP uncached depths are probed per
+    family per run — a fully-invalidated cache can no longer make one run
+    re-derive a whole ladder inside the driver's kill window."""
+    calls = []
+    fresh = {}
+    monkeypatch.setattr(bench, "_CACHE", fresh)
+    monkeypatch.setattr(bench, "_COLD_PROBES", {})
+    monkeypatch.setattr(bench, "_remaining", lambda: 1e9)
+    monkeypatch.setattr(bench, "_release_device_memory", lambda: None)
+    monkeypatch.setattr(bench, "quantized_dit_bytes",
+                        lambda layers, mode="int8": int(layers * 0.51e9))
+
+    def fake_pipeline(layers, quantize, **kw):
+        calls.append(layers)
+        raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+
+    monkeypatch.setattr(bench, "bench_e2e_pipeline_s", fake_pipeline)
+    assert bench.bench_e2e_int8_deepest() is None
+    assert len(calls) == bench._COLD_CAP  # descent stops at the cap
+    # the genuinely-OOM depths ARE recorded, so the next run resumes deeper
+    assert fresh["int8_e2e_depth"]["infeasible"] == sorted(set(calls))
+
+
 def test_reasoning_probe_w4a8_seeds_deeper_and_keys_per_mode(monkeypatch):
     """round-4: the w4a8 reasoning probe must (a) seed its start depth from
     the int8-known depth's WEIGHT budget (int4 storage frees ~0.28 GB/layer,
@@ -193,6 +278,7 @@ def test_reasoning_probe_w4a8_seeds_deeper_and_keys_per_mode(monkeypatch):
     calls = []
     fresh = {}
     monkeypatch.setattr(bench, "_CACHE", fresh)
+    monkeypatch.setattr(bench, "_COLD_PROBES", {})
     monkeypatch.setattr(bench, "_remaining", lambda: 1e9)
     monkeypatch.setattr(bench, "_release_device_memory", lambda: None)
     # weight model: int8 ~0.55 GB/layer, w4a8 ~0.23 GB/layer (ratios match
@@ -229,12 +315,14 @@ def test_reasoning_probe_w4a8_seeds_deeper_and_keys_per_mode(monkeypatch):
 def test_reasoning_probe_climbs_after_first_try_success(monkeypatch):
     """round-4: the weight-budget seed is conservative — when the seeded
     depth succeeds on the first try, the probe must climb +4 toward 40
-    instead of leaving deeper depths unexplored (w4a8 landed on 28 first
-    try and 32/36/40 were never probed). Feasibility persists, so the climb
-    is paid once and reruns start at the deepest known-good depth."""
+    instead of leaving deeper depths unexplored. Round-5 refinement
+    (VERDICT r4 #1d): each RUN spends at most _COLD_CAP cold probes on the
+    family; feasibility persists, so the climb resumes across runs and
+    every run starts at the deepest known-good depth."""
     calls = []
     fresh = {}
     monkeypatch.setattr(bench, "_CACHE", fresh)
+    monkeypatch.setattr(bench, "_COLD_PROBES", {})
     monkeypatch.setattr(bench, "_remaining", lambda: 1e9)
     monkeypatch.setattr(bench, "_release_device_memory", lambda: None)
     monkeypatch.setattr(
@@ -252,18 +340,27 @@ def test_reasoning_probe_climbs_after_first_try_success(monkeypatch):
         return {"layers": layers, "quantize": quantize, "measured_s": 30.0}
 
     monkeypatch.setattr(bench, "bench_e2e_pipeline_s", fake_pipeline)
+    # run 1: seed 28 (cold #1) ok -> climb 32 (cold #2) ok -> cap reached
     res = bench.bench_e2e_reasoning_deepest(mode="int4_a8")
-    # seed 28 succeeds -> climb 32, 36 (ok), 40 (OOM) -> deepest wins
-    assert calls == [28, 32, 36, 40]
+    assert calls == [28, 32]
+    assert res["layers"] == 32
+    assert fresh["int4a8_reason_depth"]["feasible"] == 32
+    # run 2 (fresh cold budget): starts at known 32, climbs 36 ok, 40 OOM
+    calls.clear()
+    monkeypatch.setattr(bench, "_COLD_PROBES", {})
+    res = bench.bench_e2e_reasoning_deepest(mode="int4_a8")
+    assert calls == [32, 36, 40]
     assert res["layers"] == 36
     assert fresh["int4a8_reason_depth"]["feasible"] == 36
     assert fresh["int4a8_reason_depth"]["infeasible"] == [40]
-    # rerun starts at 36 and does not re-probe the known-infeasible 40
+    # run 3: measures the known depth only; 40 is remembered infeasible
     calls.clear()
+    monkeypatch.setattr(bench, "_COLD_PROBES", {})
     assert bench.bench_e2e_reasoning_deepest(mode="int4_a8")["layers"] == 36
     assert calls == [36]
     # deadline guard: with little time left the climb is skipped
     calls.clear()
+    monkeypatch.setattr(bench, "_COLD_PROBES", {})
     fresh.pop("int4a8_reason_depth")
     monkeypatch.setattr(bench, "_remaining", lambda: 600)
     assert bench.bench_e2e_reasoning_deepest(mode="int4_a8")["layers"] == 28

@@ -217,7 +217,8 @@ class Blocklist:
         return re.sub(r"\s+", " ", p).strip()
 
     def _strip_whitelist(self, norm: str,
-                         keep: frozenset[str] = frozenset()) -> str:
+                         keep: frozenset[str] = frozenset(),
+                         single_word_only: bool = False) -> str:
         """Remove whitelist phrases; tokens in ``keep`` survive the removal.
 
         The partial tier passes ``keep`` = every token that appears in an
@@ -225,15 +226,18 @@ class Blocklist:
         blocked phrase that STRADDLES it: 'suicide prevention vest' keeps
         'suicide' and still matches 'suicide vest' (round-4 review — with
         plain deletion, appending 'prevention' bypassed every suicide-related
-        phrase). The exact tier passes no ``keep``: the whitelisted phrase
-        itself ('suicide prevention poster') must not fire the exact word."""
+        phrase). The exact tier passes ``single_word_only=True``: only
+        per-token whitelist entries apply there, mirroring the reference's
+        uncensor_whitelist (blocklist.py:65-74) — see __call__ for why.
+        All removals are word-boundary anchored: a span must never be
+        clipped out of a LONGER word ('suicide preventionists' kept its
+        exact token hidden as 'ists' — advisor round 4)."""
         for phrase in self.whitelist:
+            if single_word_only and " " in phrase:
+                continue
             kept = " ".join(t for t in phrase.split() if t in keep)
             repl = f" {kept} " if kept else " "
-            if " " in phrase:
-                norm = norm.replace(phrase, repl)
-            else:
-                norm = re.sub(rf"\b{re.escape(phrase)}\b", repl, norm)
+            norm = re.sub(rf"\b{re.escape(phrase)}\b", repl, norm)
         return re.sub(r"\s+", " ", norm).strip()
 
     def _fuzzy_match(self, words: list[str], phrase: str) -> bool:
@@ -278,9 +282,17 @@ class Blocklist:
 
     def __call__(self, prompt: str) -> tuple[bool, str]:
         norm0 = self.normalize(prompt)
-        # exact tier: whitelist spans fully removed (a whitelisted phrase
-        # containing an exact word — 'suicide prevention' — must pass)
-        norm = self._strip_whitelist(norm0)
+        # exact tier: only SINGLE-word whitelist entries apply, per-token
+        # like the reference's uncensor_whitelist (blocklist.py:65-74).
+        # Multi-word entries used to strip their whole span here, which let
+        # ANY prompt disarm an exact word by appending a whitelist phrase
+        # containing it ('a man committing suicide prevention' passed while
+        # 'a man committing suicide' blocked — advisor round 4, verified by
+        # execution). The false positive on genuinely-benign usages
+        # ('suicide prevention poster' now blocks) is accepted, exactly as
+        # the reference accepts it; the LLM guard tier is the place for
+        # semantic judgments.
+        norm = self._strip_whitelist(norm0, single_word_only=True)
         tokens = re.findall(r"[a-z']+", norm)
         lemmas = {c for t in tokens for c in _lemma_candidates(t)}
         exact = set(self.exact_words)

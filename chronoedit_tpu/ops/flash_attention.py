@@ -101,6 +101,18 @@ def _plan_blocks(sq: int, skv: int, d: int, itemsize: int,
     bkv = min(block_kv, 256)
     skv_res = -(-skv // bkv) * bkv
     if 2 * skv_res * d * itemsize <= _RESIDENT_KV_BYTES:
+        if group is not None and group > 1:
+            # advisor r4: silently discarding an explicit group here made
+            # tools/tune_attention.py --group-ab A/B the resident kernel
+            # against itself at resident-planned shapes (a null result that
+            # read as "grouping doesn't help")
+            import warnings
+
+            warnings.warn(
+                f"explicit group={group} ignored: KV ({skv} x {d}) fits "
+                "resident in VMEM, so the ungrouped resident kernel is "
+                "used; grouping only applies to the streamed path",
+                stacklevel=3)
         bq = 256 if sq >= 256 else 128
         return min(block_q, bq), bkv, 1
     bq, bkv = _pick_blocks(sq, skv, block_q, block_kv)

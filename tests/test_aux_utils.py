@@ -419,11 +419,18 @@ def test_blocklist_fuzzy_and_whitelist():
     assert not ok and "fuzzy" in reason
     # clean text passes
     assert bl("a massive crowd cheering")[0]
-    # whitelisted phrase is stripped before matching
+    # advisor round 4: multi-word whitelist entries NO LONGER disarm the
+    # exact tier (any prompt could append 'prevention' to pass); the false
+    # positive is accepted, like the reference's per-token uncensor list
     bl2 = Blocklist(exact_words=("suicide",), partial_phrases=(),
                     whitelist=("suicide prevention",))
-    assert bl2("a suicide prevention awareness poster")[0]
+    assert not bl2("a suicide prevention awareness poster")[0]
     assert not bl2("a suicide scene")[0]
+    # single-word whitelist entries still disarm per-token (reference
+    # uncensor_whitelist semantics, blocklist.py:65-74)
+    bl3 = Blocklist(exact_words=("rape",), partial_phrases=(),
+                    whitelist=("grape",))
+    assert bl3("a grape on the table")[0]
 
 
 def test_bundled_blocklist_reference_scale():
@@ -483,11 +490,29 @@ def test_blocklist_whitelist_cannot_disarm_straddling_phrases():
     ):
         ok, reason = bl(prompt)
         assert not ok, f"straddle bypass: {prompt!r}"
-    # the legitimate whitelisted usages still pass
-    for prompt in ("a suicide prevention awareness poster",
-                   "an anti suicide campaign billboard"):
+
+
+def test_blocklist_exact_tier_whitelist_append_exploit():
+    """advisor round 4 (medium): the exact tier must not be disarmable by
+    APPENDING a whitelist phrase — 'a man committing suicide prevention'
+    returned safe while 'a man committing suicide' blocked. Multi-word
+    whitelist entries no longer apply to the exact tier (per-token only,
+    like the reference's uncensor_whitelist); the resulting false positive
+    on benign usages is accepted, as the reference accepts it."""
+    bl = Blocklist()
+    for prompt in (
+        "a man committing suicide",
+        "a man committing suicide prevention",       # the verified exploit
+        "a man committing suicide awareness poster",
+        # advisor low: span clipping out of a LONGER word must not hide the
+        # exact token ('suicide preventionists' -> 'ists' bypassed the tier)
+        "suicide preventionists at work",
+        # accepted false positives (documented exact-tier behavior)
+        "a suicide prevention awareness poster",
+        "an anti suicide campaign billboard",
+    ):
         ok, reason = bl(prompt)
-        assert ok, f"benign whitelisted prompt blocked: {prompt!r} -> {reason}"
+        assert not ok, f"exact-tier bypass: {prompt!r}"
 
 
 def test_blocklist_possessive_forms_blocked():

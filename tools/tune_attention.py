@@ -165,6 +165,15 @@ def kt_ab(B, S, H=40, D=128, iters=8, reps=20):
 def group_ab(B, S, H=40, D=128, iters=8, reps=20):
     """A/B the grouped streamed fetch (planned default, 3x512) against the
     ungrouped 1x1024 stream at a given shape, scan-chained timing."""
+    from chronoedit_tpu.ops import flash_attention as fa
+
+    # advisor r4: shapes whose KV fits resident in VMEM plan the resident
+    # kernel for BOTH arms (group is ignored there), so the A/B would just
+    # time the same kernel twice and print a misleading null result
+    if fa._plan_blocks(S, S, D, 2, fa._BLOCK_Q, fa._BLOCK_KV, None)[2] == 1:
+        print(f"== group A/B: B={B} S={S}: SKIPPED (KV fits resident; "
+              "grouping only applies to the streamed path)", flush=True)
+        return
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     q = jax.random.normal(ks[0], (B, S, H, D), jnp.bfloat16)
     k = jax.random.normal(ks[1], (B, S, H, D), jnp.bfloat16)

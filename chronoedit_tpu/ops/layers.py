@@ -40,14 +40,25 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     if "kernel_q" in p:  # int8 w8a8 serving path (ops/quant.py)
         from chronoedit_tpu.ops.quant import quantized_linear
 
-        return quantized_linear(p, x)
-    if "kernel_q4" in p:  # int4 w4a16 capacity path (ops/quant.py)
+        y = quantized_linear(p, x)
+    elif "kernel_q4" in p:  # int4 w4a16 capacity path (ops/quant.py)
         from chronoedit_tpu.ops.quant import quantized_linear_int4
 
-        return quantized_linear_int4(p, x)
-    y = x @ p["kernel"].astype(x.dtype)
-    if "bias" in p:
-        y = y + p["bias"].astype(x.dtype)
+        y = quantized_linear_int4(p, x)
+    else:
+        y = x @ p["kernel"].astype(x.dtype)
+        if "bias" in p:
+            y = y + p["bias"].astype(x.dtype)
+    if "lora_a" in p:
+        # unmerged (side-branch) LoRA: y += (x @ a) @ b, the adapter scaling
+        # pre-folded into b (models/lora.attach_lora). This is the
+        # QLoRA-style path — the base kernel may be a packed int8/int4 leaf
+        # with no float kernel to merge into; rank is tiny, so the fp32
+        # side matmuls are noise next to the base matmul
+        xf = x.astype(jnp.float32)
+        d = (xf @ p["lora_a"].astype(jnp.float32)) @ p["lora_b"].astype(
+            jnp.float32)
+        y = y + d.astype(y.dtype)
     return y
 
 

@@ -50,18 +50,51 @@ def quantize_linear_params(p: Params) -> Params:
     return out
 
 
+@jax.custom_vjp
+def _int8_dot_ste(xq_f: jnp.ndarray, w8: jnp.ndarray) -> jnp.ndarray:
+    """Round ``xq_f`` (float activations pre-divided by their per-token
+    scale, so values target [-127, 127]) to int8 and run the s8 x s8 -> s32
+    MXU matmul; backward is the straight-through estimator
+    ``d xq_f = g @ w8^T`` (round/clip treated as identity).
+
+    Without this, autodiff through the quantized forward is broken: round()
+    has zero gradient and the integer dot carries no tangent, so the ONLY
+    path from a layer's input to its output was the per-token scale — QLoRA
+    adapter gradients came out at cosine ~0.80 vs the bf16-base step even
+    with an int8 base whose forward is 49.8 dB faithful (round-5 measured;
+    the STE restores ~1.0). Serving (forward-only) HLO is unchanged."""
+    xq = jnp.clip(jnp.round(xq_f), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w8, dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32)
+
+
+def _int8_dot_ste_fwd(xq_f, w8):
+    return _int8_dot_ste(xq_f, w8), w8
+
+
+def _int8_dot_ste_bwd(w8, g):
+    # dequantize-on-the-fly transposed matmul (the standard QLoRA backward);
+    # the int8 weight leaf is frozen, so its cotangent is the float0 zero
+    dx = jax.lax.dot_general(
+        g, w8.astype(jnp.float32),
+        dimension_numbers=(((g.ndim - 1,), (1,)), ((), ())))
+    return dx, np.zeros(w8.shape, jax.dtypes.float0)
+
+
+_int8_dot_ste.defvjp(_int8_dot_ste_fwd, _int8_dot_ste_bwd)
+
+
 def quantized_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """w8a8 linear: dynamic per-token activation quant, int32 MXU accumulate,
-    fp32 dequant. Output in ``x.dtype``."""
+    fp32 dequant. Output in ``x.dtype``. Differentiable in ``x`` via the
+    straight-through int8 dot (:func:`_int8_dot_ste`)."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     xs = jnp.maximum(amax, _EPS) / 127.0  # (..., 1) per-token scale
-    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
-    acc = jax.lax.dot_general(
-        xq, p["kernel_q"],
-        dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    y = acc.astype(jnp.float32) * xs * p["kernel_scale"]
+    acc = _int8_dot_ste(xf / xs, p["kernel_q"])
+    y = acc * xs * p["kernel_scale"]
     if "bias" in p:
         y = y + p["bias"].astype(jnp.float32)
     return y.astype(x.dtype)
@@ -98,9 +131,56 @@ def is_quantized(p: Params) -> bool:
 
 INT4_GROUP = 128
 
+# Default int4 grid (round 5, VERDICT r4 #2): "lloyd" — a 15-level
+# MSE-optimal (Lloyd-Max) codebook for absmax-normalized weight groups,
+# stored per leaf as ``kernel_lut4`` (15,) and indexed by the packed nibble.
+# Against the uniform grid it buys ~1.5 dB of weight SNR at ZERO extra
+# bytes and zero extra matmul work (the dequant gains one 15-entry take the
+# producer fusion absorbs). The TOP level is pinned at +-1.0, so every
+# group's absmax is still representable exactly — the r4 clip-search lesson
+# (outliers carry signal; MSE-optimal *clipping* lowered pipeline PSNR)
+# shaped this: interior levels move, the endpoints never do.
+INT4_GRID = "lloyd"
+
+
+@functools.lru_cache(maxsize=None)
+def _lloyd_levels(eff_group: int) -> tuple[float, ...]:
+    """15 symmetric levels in [-1, 1] minimizing MSE over absmax-normalized
+    Gaussian groups of ``eff_group`` elements (the per-group normalized
+    weight distribution narrows as groups shrink — absmax of n Gaussians
+    ~ sqrt(2 ln n) — so the codebook is keyed by the EFFECTIVE group size).
+    Deterministic host-side precompute; levels are odd-symmetric with an
+    exact 0 (padded rows still quantize to 0) and pinned +-1 endpoints
+    (group maxima survive exactly)."""
+    rng = np.random.default_rng(12345)
+    n = max(int(eff_group), 2)
+    m = max(64, 2_000_000 // n)
+    w = rng.standard_normal((m, n))
+    x = (w / np.abs(w).max(axis=1, keepdims=True)).ravel()
+    lv = np.linspace(-1.0, 1.0, 15)
+    for _ in range(200):
+        edges = (lv[1:] + lv[:-1]) / 2
+        idx = np.digitize(x, edges)
+        sums = np.bincount(idx, weights=x, minlength=15)
+        cnts = np.bincount(idx, minlength=15)
+        lv = np.where(cnts > 0, sums / np.maximum(cnts, 1), lv)
+        lv = (lv - lv[::-1]) / 2.0  # odd symmetry; lv[7] == 0 exactly
+        lv[0], lv[-1] = -1.0, 1.0
+    return tuple(float(v) for v in lv)
+
+
+def _int4_levels(grid: str, eff_group: int) -> jnp.ndarray | None:
+    """(15,) float32 codebook for ``grid``, or None for the uniform grid."""
+    if grid == "uniform":
+        return None
+    if grid == "lloyd":
+        return jnp.asarray(_lloyd_levels(eff_group), jnp.float32)
+    raise ValueError(f"unknown int4 grid {grid!r}")
+
 
 def quantize_linear_params_int4(p: Params, group: int = INT4_GROUP,
-                                act8: bool = False) -> Params:
+                                act8: bool = False,
+                                grid: str | None = None) -> Params:
     """{"kernel": (in, out) float, "bias"?} -> packed int4 kernel with
     per-(group, out-channel) scales.
 
@@ -119,13 +199,22 @@ def quantize_linear_params_int4(p: Params, group: int = INT4_GROUP,
     18x below the largest group's own int4 step, so quality is carried by
     the int4 quantization, gated by the same pipeline PSNR test.
 
+    ``grid`` (round 5): "lloyd" (default via INT4_GRID) stores a 15-level
+    MSE-optimal codebook per leaf (``kernel_lut4``) and the group absmax as
+    ``kernel_scale4``; "uniform" is the classic absmax/7 grid (required by
+    the opt-in Pallas kernel, ops/int4_matmul.py).
+
     Negative result (round 4): per-group MSE-optimal *clip search* (scales
     absmax*c/7 over c in [0.7, 1.0], running argmin — the standard
     weight-only int4 trick) measurably LOWERS end-to-end pipeline quality
     here despite lowering per-group weight MSE: 27.0 dB (absmax) vs
     24.9–25.2 dB for every clipped candidate set on the pipeline PSNR gate.
     The clipped outliers are exactly the weights that carry signal through
-    the 40-block cascade (the AWQ observation). Keep plain absmax."""
+    the 40-block cascade (the AWQ observation). The lloyd codebook keeps
+    that lesson: its +-1 endpoints are pinned, so group maxima survive
+    exactly; only interior levels move."""
+    if grid is None:
+        grid = INT4_GRID
     k = p["kernel"].astype(jnp.float32)
     din, dout = k.shape
     g = -(-din // group)
@@ -133,16 +222,27 @@ def quantize_linear_params_int4(p: Params, group: int = INT4_GROUP,
     if g * group != din:
         k = jnp.pad(k, ((0, g * group - din), (0, 0)))
     kg = k.reshape(g, group, dout)
-    scale = jnp.maximum(jnp.max(jnp.abs(kg), axis=1), _EPS) / 7.0  # (g, out)
-    q = jnp.clip(jnp.round(kg / scale[:, None, :]), -7, 7)
+    absmax = jnp.maximum(jnp.max(jnp.abs(kg), axis=1), _EPS)  # (g, out)
+    lut = _int4_levels(grid, min(group, din))
+    if lut is None:  # uniform: w ~ q * scale, q in [-7, 7]
+        scale = absmax / 7.0
+        q = jnp.clip(jnp.round(kg / scale[:, None, :]), -7, 7)
+    else:  # codebook: w ~ lut[q + 7] * scale, scale = group absmax
+        scale = absmax
+        edges = (lut[1:] + lut[:-1]) / 2.0  # (14,) sorted
+        q = jnp.searchsorted(edges, kg / scale[:, None, :]) - 7
     q = q.astype(jnp.int8).reshape(g * group, dout)
     half = g * group // 2
     lo, hi = q[:half], q[half:]
     packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0x0F),
                             jnp.left_shift(hi, 4)).astype(jnp.int8)
     out = {"kernel_q4": packed, "kernel_scale4": scale}
+    if lut is not None:
+        out["kernel_lut4"] = lut
     if act8:
-        out["kernel_scale8"] = jnp.max(scale, axis=0) * (7.0 / 127.0)  # (out,)
+        # per-out-channel int8 requant grid: identical in both grids —
+        # t = max_g(absmax)/127, so |level * absmax/t| <= 127 exactly
+        out["kernel_scale8"] = jnp.max(absmax, axis=0) / 127.0  # (out,)
     if "bias" in p:
         out["bias"] = p["bias"]
     return out
@@ -181,12 +281,14 @@ def quantized_linear_int4(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     if "kernel_scale8" in p:  # w4a8: requantize to per-column int8 compute
         return _int4_apply_a8(p, x)
 
-    if int4_matmul_supported(x, p["kernel_q4"]):
+    # the Pallas kernel implements the uniform grid only; codebook params
+    # (kernel_lut4) always take the XLA-fused path
+    if "kernel_lut4" not in p and int4_matmul_supported(x, p["kernel_q4"]):
         y = int4_matmul(x, p["kernel_q4"], p["kernel_scale4"])
     else:
         packed, scale = jax.lax.optimization_barrier(
             (p["kernel_q4"], p["kernel_scale4"]))
-        lo, hi = _unpack_int4(packed)
+        lut = p.get("kernel_lut4")
         g = scale.shape[0]
         group = 2 * half // g
 
@@ -194,10 +296,13 @@ def quantized_linear_int4(p: Params, x: jnp.ndarray) -> jnp.ndarray:
             # scale multiply in fp32 (advisor r3): casting the fp32 scales
             # to bf16 first would stack bf16 rounding on the int4 error.
             # XLA fuses the chain into the matmul operand producer.
-            w = q_half.reshape(g // 2, group, dout).astype(jnp.float32)
-            w = w * s_half[:, None, :]
+            w = q_half.astype(jnp.float32)
+            if lut is not None:  # codebook grid: nibble indexes the levels
+                w = jnp.take(lut, (q_half.astype(jnp.int32) + 7))
+            w = w.reshape(g // 2, group, dout) * s_half[:, None, :]
             return w.reshape(half, dout).astype(x.dtype)
 
+        lo, hi = _unpack_int4(packed)
         y = (x[..., :half] @ dq(lo, scale[: g // 2])
              + x[..., half:] @ dq(hi, scale[g // 2:]))
     if "bias" in p:
@@ -215,14 +320,18 @@ def _int4_apply_a8(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     temp, and the optimization_barrier pins it per scan step as before."""
     packed, scale, t = jax.lax.optimization_barrier(
         (p["kernel_q4"], p["kernel_scale4"], p["kernel_scale8"]))
+    lut = p.get("kernel_lut4")
     half, dout = packed.shape
     g = scale.shape[0]
     group = 2 * half // g
-    f = scale / t  # (g, out) fp32, <= 127/7
+    f = scale / t  # (g, out) fp32: <= 127/7 uniform, <= 127 codebook
 
     def rq(q_half, f_half):
-        w = q_half.reshape(g // 2, group, dout).astype(jnp.float32)
-        w = jnp.clip(jnp.round(w * f_half[:, None, :]), -127, 127)
+        w = q_half.astype(jnp.float32)
+        if lut is not None:  # codebook grid: |lut| <= 1, so |w*f| <= 127
+            w = jnp.take(lut, (q_half.astype(jnp.int32) + 7))
+        w = w.reshape(g // 2, group, dout) * f_half[:, None, :]
+        w = jnp.clip(jnp.round(w), -127, 127)
         return w.astype(jnp.int8).reshape(half, dout)
 
     lo, hi = _unpack_int4(packed)
@@ -231,15 +340,12 @@ def _int4_apply_a8(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     xs = jnp.maximum(amax, _EPS) / 127.0  # per-token scale
-    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
-
-    def mm(a, b):
-        return jax.lax.dot_general(
-            a, b, dimension_numbers=(((a.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-
-    acc = mm(xq[..., :half], w8_lo) + mm(xq[..., half:], w8_hi)
-    y = acc.astype(jnp.float32) * xs * t
+    xq_f = xf / xs
+    # STE int8 dots (see _int8_dot_ste): exact integer forward, dequantized
+    # straight-through backward — the QLoRA step differentiates through this
+    acc = (_int8_dot_ste(xq_f[..., :half], w8_lo)
+           + _int8_dot_ste(xq_f[..., half:], w8_hi))
+    y = acc * xs * t
     if "bias" in p:
         y = y + p["bias"].astype(jnp.float32)
     return y.astype(x.dtype)
@@ -264,10 +370,22 @@ _BLOCK_LINEARS_INT4 = _BLOCK_LINEARS + (
     ("cross_attn", "k_img"), ("cross_attn", "v_img"),
 )
 
+# Round-5 mixed-precision recipe (VERDICT r4 #2): projections promoted to
+# w8a8 int8 inside the int4 pipeline, chosen by measured tiny-pipe
+# sensitivity per upgrade byte (tools/exp_quant_sensitivity.py). Q/K
+# projections are nearly insensitive (softmax absorbs their error:
+# 72–113 dB each in isolation); V/O carry it straight to the residual
+# stream. v_img+v+self.o costs +1.18 GB at 14B x 40 layers over pure int4
+# and lifts the tiny-pipe gate from 28.6 to 31.2 dB (cached 30.0).
+INT4_MIXED_UPGRADE = (
+    ("cross_attn", "v_img"), ("cross_attn", "v"), ("self_attn", "o"),
+)
+
 
 def quantize_dit_params(params: Params,
                         skip: tuple[tuple[str, str], ...] = (),
-                        mode: str = "int8") -> Params:
+                        mode: str = "int8",
+                        upgrade: tuple[tuple[str, str], ...] = ()) -> Params:
     """Quantize the stacked DiT block projections in-place-shaped: returns a
     new pytree where each targeted linear carries ``kernel_q``/``kernel_scale``
     (``mode="int8"``, w8a8) or ``kernel_q4``/``kernel_scale4``
@@ -279,7 +397,14 @@ def quantize_dit_params(params: Params,
     (use :func:`rank_projection_sensitivity` to pick). Per-*projection*
     rather than per-layer granularity: the scan over weight-stacked blocks
     needs a homogeneous pytree across layers, so a projection is either
-    quantized in every layer or bf16 in every layer."""
+    quantized in every layer or bf16 in every layer.
+
+    ``upgrade`` (round 5, mixed precision) lists (module, name) projections
+    quantized at w8a8 int8 while the rest take the int4 ``mode`` — spending
+    byte budget where the error hurts most (the dispatch in ops/layers.py
+    is per-leaf, so mixing formats across projections is free). Only
+    meaningful for the int4 modes; ignored entries that are not int4
+    targets are rejected."""
     if mode not in ("int8", "int4", "int4_a8"):
         raise ValueError(f"unknown quantization mode {mode!r}")
     targets = _BLOCK_LINEARS if mode == "int8" else _BLOCK_LINEARS_INT4
@@ -289,6 +414,10 @@ def quantize_dit_params(params: Params,
         qfn = quantize_linear_params_int4
     else:  # int4_a8: int4 storage, per-column-int8 requantized compute
         qfn = functools.partial(quantize_linear_params_int4, act8=True)
+    bad = [u for u in upgrade if u not in targets]
+    if bad:
+        raise ValueError(f"upgrade entries are not quantization targets "
+                         f"for mode {mode!r}: {bad}")
     out = dict(params)
     blocks = {k: (dict(v) if isinstance(v, dict) else v)
               for k, v in params["blocks"].items()}
@@ -300,7 +429,8 @@ def quantize_dit_params(params: Params,
         if is_quantized(blocks[mod][name]):
             continue  # idempotent: pipeline.quantize() may be called twice
         sub = dict(blocks[mod])
-        sub[name] = jax.vmap(qfn)(sub[name])
+        fn = quantize_linear_params if (mod, name) in upgrade else qfn
+        sub[name] = jax.vmap(fn)(sub[name])
         blocks[mod] = sub
     out["blocks"] = blocks
     return out
@@ -341,7 +471,10 @@ def dequantize_linear_params(p: Params, in_dim: int | None = None) -> Params:
                 f"original size (padded in-dim here: "
                 f"{p['kernel_q4'].shape[0] * 2})")
         lo, hi = _unpack_int4(p["kernel_q4"])
-        q = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)
+        q = jnp.concatenate([lo, hi], axis=0)
+        if "kernel_lut4" in p:
+            q = jnp.take(p["kernel_lut4"], q.astype(jnp.int32) + 7)
+        q = q.astype(jnp.float32)
         scale = p["kernel_scale4"]
         g, dout = scale.shape
         group = q.shape[0] // g

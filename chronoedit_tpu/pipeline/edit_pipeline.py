@@ -148,7 +148,8 @@ class ChronoEditPipeline:
         self._jit_cache: dict = {}
 
     def quantize(self, skip: tuple = (),
-                 mode: str = "int8") -> "ChronoEditPipeline":
+                 mode: str = "int8",
+                 upgrade: tuple = ()) -> "ChronoEditPipeline":
         """Switch the DiT to a quantized serving path (ops/quant.py):
         ``mode="int8"`` (w8a8, 2x MXU throughput) makes block projections
         int8 with per-channel scales; ``mode="int4"`` (w4a16 grouped) packs
@@ -159,11 +160,15 @@ class ChronoEditPipeline:
 
         ``skip``: (module, name) projections to keep bf16 — the sensitivity
         escape hatch when a checkpoint fails the pipeline PSNR gate
-        (docs/SERVING.md; ops.quant.rank_projection_sensitivity)."""
+        (docs/SERVING.md; ops.quant.rank_projection_sensitivity).
+
+        ``upgrade``: (module, name) projections quantized at w8a8 int8
+        inside an int4 pipeline — mixed precision, spending byte budget on
+        the error-dominant projections (ops.quant.quantize_dit_params)."""
         from chronoedit_tpu.ops.quant import quantize_dit_params
 
         self.dit_params = quantize_dit_params(self.dit_params, skip=skip,
-                                              mode=mode)
+                                              mode=mode, upgrade=upgrade)
         if self.mesh is not None:
             from chronoedit_tpu.parallel.sharding import shard_params
 

@@ -103,7 +103,7 @@ def test_int4_a8_requant_bounds_and_linear_close():
     rng = np.random.default_rng(11)
     p = {"kernel": jnp.asarray(rng.normal(size=(200, 32)), jnp.float32),
          "bias": jnp.asarray(rng.normal(size=(32,)), jnp.float32)}
-    qp = quantize_linear_params_int4(p, act8=True)
+    qp = quantize_linear_params_int4(p, act8=True, grid="uniform")
     assert qp["kernel_scale8"].shape == (32,)
     s = np.asarray(qp["kernel_scale4"])  # (g, out)
     t = np.asarray(qp["kernel_scale8"])  # (out,)
@@ -121,12 +121,65 @@ def test_int4_a8_requant_bounds_and_linear_close():
     x = jnp.asarray(rng.normal(size=(3, 5, 200)), jnp.float32)
     a8 = np.asarray(quantized_linear_int4(qp, x))
     a16 = np.asarray(quantized_linear_int4(
-        quantize_linear_params_int4(p), x))
+        quantize_linear_params_int4(p, grid="uniform"), x))
     denom = np.abs(a16).max()
     assert np.abs(a8 - a16).max() / denom < 0.02
     # L.linear dispatches w4a8 through the same packed-leaf branch
     np.testing.assert_allclose(np.asarray(L.linear(qp, x)), a8, rtol=1e-6,
                                atol=1e-6)
+
+
+def test_int4_lloyd_grid_properties_and_linear():
+    """round 5 (VERDICT r4 #2): the default lloyd codebook grid must (a) be
+    odd-symmetric with exact 0 and pinned +-1 endpoints (group maxima are
+    preserved exactly — the r4 clip-search lesson), (b) beat the uniform
+    grid's weight MSE on Gaussian weights, and (c) produce a linear whose
+    output matches x @ dequantized(kernel); the w4a8 requant must track the
+    w4a16 path within the activation-quant envelope."""
+    from chronoedit_tpu.ops.quant import (
+        dequantize_linear_params, quantize_linear_params_int4,
+        quantized_linear_int4)
+
+    rng = np.random.default_rng(13)
+    din, dout = 200, 32
+    p = {"kernel": jnp.asarray(rng.normal(size=(din, dout)), jnp.float32)}
+    qp = quantize_linear_params_int4(p)  # default grid = lloyd
+    lut = np.asarray(qp["kernel_lut4"])
+    assert lut.shape == (15,)
+    assert lut[7] == 0.0 and lut[0] == -1.0 and lut[14] == 1.0
+    np.testing.assert_allclose(lut, -lut[::-1], atol=0)
+    assert (np.diff(lut) > 0).all()
+
+    k = np.asarray(p["kernel"], np.float64)
+    deq = np.asarray(
+        dequantize_linear_params(qp, in_dim=din)["kernel"], np.float64)
+    qp_u = quantize_linear_params_int4(p, grid="uniform")
+    deq_u = np.asarray(
+        dequantize_linear_params(qp_u, in_dim=din)["kernel"], np.float64)
+    mse, mse_u = ((deq - k) ** 2).mean(), ((deq_u - k) ** 2).mean()
+    assert mse < mse_u, f"lloyd {mse} not better than uniform {mse_u}"
+
+    # group maxima survive exactly (pinned endpoints)
+    s = np.asarray(qp["kernel_scale4"])  # (g, out) = group absmax
+    g = s.shape[0]
+    kg = np.pad(k, ((0, g * 128 - din), (0, 0))).reshape(g, 128, dout)
+    i = np.abs(kg).argmax(axis=1)
+    gmax = np.take_along_axis(kg, i[:, None, :], 1)[:, 0, :]
+    dg = np.pad(deq, ((0, g * 128 - din), (0, 0))).reshape(g, 128, dout)
+    dmax = np.take_along_axis(dg, i[:, None, :], 1)[:, 0, :]
+    np.testing.assert_allclose(dmax, gmax, rtol=1e-5)
+
+    x = jnp.asarray(rng.normal(size=(3, 5, din)), jnp.float32)
+    got = np.asarray(quantized_linear_int4(qp, x))
+    want = np.asarray(x) @ deq.astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    # w4a8 on the lloyd grid: requant never overflows int8, output close
+    qp8 = quantize_linear_params_int4(p, act8=True)
+    t = np.asarray(qp8["kernel_scale8"])
+    np.testing.assert_allclose(t, s.max(axis=0) / 127, rtol=1e-6)
+    a8 = np.asarray(quantized_linear_int4(qp8, x))
+    assert np.abs(a8 - got).max() / np.abs(got).max() < 0.02
 
 
 def test_int4_pallas_kernel_matches_fallback():
@@ -140,7 +193,7 @@ def test_int4_pallas_kernel_matches_fallback():
     rng = np.random.default_rng(11)
     din, dout, m = 256, 128, 130  # K/2=128 (1 tile), ragged M (pads to 256)
     p = {"kernel": jnp.asarray(rng.normal(size=(din, dout)), jnp.float32)}
-    qp = quantize_linear_params_int4(p)
+    qp = quantize_linear_params_int4(p, grid="uniform")  # kernel: uniform only
     x = jnp.asarray(rng.normal(size=(m, din)), jnp.float32)
     got = int4_matmul(x, qp["kernel_q4"], qp["kernel_scale4"],
                       interpret=True)
@@ -166,7 +219,7 @@ def test_int4_kernel_multi_ktile_and_bf16():
     rng = np.random.default_rng(12)
     din, dout = 1024, 256  # K/2=512 -> bk=512? choose bk=128 for 4 k-tiles
     p = {"kernel": jnp.asarray(rng.normal(size=(din, dout)), jnp.float32)}
-    qp = quantize_linear_params_int4(p)
+    qp = quantize_linear_params_int4(p, grid="uniform")  # kernel: uniform only
     x = jnp.asarray(rng.normal(size=(64, din)), jnp.bfloat16)
     got = int4_matmul(x, qp["kernel_q4"], qp["kernel_scale4"],
                       bk=128, bn=128, interpret=True)
@@ -432,7 +485,7 @@ def _psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def _tiny_pipe_run(quantize, skip: tuple = (), cache: bool = False,
-                   reasoning: bool = False):
+                   reasoning: bool = False, upgrade: tuple = ()):
     import dataclasses
 
     from chronoedit_tpu.configs import chronoedit_tiny
@@ -457,7 +510,7 @@ def _tiny_pipe_run(quantize, skip: tuple = (), cache: bool = False,
     vae_params = vae_lib.init_vae_params(jax.random.PRNGKey(1), cfg.vae)
     pipe = ChronoEditPipeline(cfg, dit_params, vae_params)
     if quantize:
-        pipe.quantize(skip=skip,
+        pipe.quantize(skip=skip, upgrade=upgrade,
                       mode=quantize if isinstance(quantize, str) else "int8")
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
     image = jax.random.uniform(k1, (1, 3, 32, 64), jnp.float32, -1, 1)
@@ -500,7 +553,9 @@ def test_int4_pipeline_psnr_gate():
     q = _tiny_pipe_run(quantize="int4")
     db = _psnr(q, ref)
     print(f"int4-vs-bf16 pipeline PSNR: {db:.1f} dB")
-    assert db >= 24.0, f"int4 pipeline PSNR {db:.1f} dB below the 24 dB gate"
+    # round 5: the lloyd codebook grid lifted this from 27.0 to 28.5 dB;
+    # the gate keeps ~1 dB of seed margin
+    assert db >= 27.5, f"int4 pipeline PSNR {db:.1f} dB below the 27.5 dB gate"
 
     # int4 + Δ-cache composition — the single-chip throughput recipe
     # (bench.py e2e_measured_s_1chip_40layer_int4_blockcache); both levers
@@ -508,7 +563,7 @@ def test_int4_pipeline_psnr_gate():
     both = _tiny_pipe_run(quantize="int4", cache=True)
     db2 = _psnr(both, ref)
     print(f"int4+cached-vs-bf16 pipeline PSNR: {db2:.1f} dB")
-    assert db2 >= 23.0, db2
+    assert db2 >= 27.0, db2
 
 
 @pytest.mark.slow
@@ -523,14 +578,38 @@ def test_int4_a8_pipeline_psnr_gate():
     q = _tiny_pipe_run(quantize="int4_a8")
     db = _psnr(q, ref)
     print(f"int4_a8-vs-bf16 pipeline PSNR: {db:.1f} dB")
-    assert db >= 24.0, f"w4a8 pipeline PSNR {db:.1f} dB below the 24 dB gate"
+    # round 5: lloyd grid lifted this from 26.5 to 28.6 dB (~1 dB margin)
+    assert db >= 27.5, f"w4a8 pipeline PSNR {db:.1f} dB below the 27.5 dB gate"
 
     # w4a8 + Δ-cache: the fastest full-depth single-chip recipe must also
     # clear the stacked bar
     both = _tiny_pipe_run(quantize="int4_a8", cache=True)
     db2 = _psnr(both, ref)
     print(f"int4_a8+cached-vs-bf16 pipeline PSNR: {db2:.1f} dB")
-    assert db2 >= 23.0, db2
+    assert db2 >= 27.0, db2
+
+
+@pytest.mark.slow
+def test_int4_a8_mixed_pipeline_psnr_gate():
+    """Quality gate for the round-5 MIXED recipe (VERDICT r4 #2): w4a8 base
+    with the measured-sensitivity int8 upgrades (quant.INT4_MIXED_UPGRADE —
+    v_img/v/self.o, +1.18 GB at 14B x 40). This is the fidelity-flagship
+    single-chip config: it must clear the int8-grade 30 dB bar that pure
+    4-bit storage cannot reach (4-bit Lloyd-Max weight SNR on Gaussian
+    groups caps near 20 dB; the pipeline offset puts pure int4 at ~28.5)."""
+    from chronoedit_tpu.ops.quant import INT4_MIXED_UPGRADE
+
+    ref = _tiny_pipe_run(quantize=False)
+    q = _tiny_pipe_run(quantize="int4_a8", upgrade=INT4_MIXED_UPGRADE)
+    db = _psnr(q, ref)
+    print(f"int4_a8_mixed-vs-bf16 pipeline PSNR: {db:.1f} dB")
+    assert db >= 30.0, f"mixed pipeline PSNR {db:.1f} dB below the 30 dB gate"
+
+    both = _tiny_pipe_run(quantize="int4_a8", upgrade=INT4_MIXED_UPGRADE,
+                          cache=True)
+    db2 = _psnr(both, ref)
+    print(f"int4_a8_mixed+cached-vs-bf16 pipeline PSNR: {db2:.1f} dB")
+    assert db2 >= 29.0, db2
 
 
 @pytest.mark.slow

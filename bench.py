@@ -143,7 +143,8 @@ _HEADLINE_FIELDS = (
     "e2e_measured_s_1chip_40layer_int4_blockcache",
     "e2e_measured_s_1chip_40layer_int4a8",
     "e2e_measured_s_1chip_40layer_int4a8_blockcache",
-    "est_edits_per_s_v5e8_int4_cached_replicated",
+    "e2e_measured_s_1chip_40layer_mixed",
+    "e2e_measured_s_1chip_40layer_mixed_blockcache",
     "est_edits_per_s_v5e8_int4a8_cached_replicated",
     "e2e_measured_s_1chip_int8",
     "e2e_measured_int8_layers",
@@ -422,7 +423,8 @@ def bench_dit_block_ms(batch: int, frames: int = 2, iters: int = 5,
             from chronoedit_tpu.ops.quant import quantize_dit_params
 
             mode = quantize if isinstance(quantize, str) else "int8"
-            params = jax.jit(lambda p: quantize_dit_params(p, mode=mode))(params)
+            params = jax.jit(
+                lambda p: quantize_dit_params(p, **_qspec(mode)))(params)
 
         def fwd(p, *a, _cfg=cfg):
             return jnp.sum(dit_lib.dit_forward(p, _cfg, *a).astype(jnp.float32))
@@ -453,6 +455,17 @@ def bench_vae_s() -> dict:
     return {"encode_s": t_enc, "decode_s": t_dec}
 
 
+def _qspec(mode: str) -> dict:
+    """Map a bench mode string to quantize_dit_params kwargs. 'int4_a8_mixed'
+    is the round-5 fidelity flagship: w4a8 base + the measured-sensitivity
+    int8 upgrades (quant.INT4_MIXED_UPGRADE, >=30 dB pipeline gate)."""
+    if mode == "int4_a8_mixed":
+        from chronoedit_tpu.ops.quant import INT4_MIXED_UPGRADE
+
+        return {"mode": "int4_a8", "upgrade": INT4_MIXED_UPGRADE}
+    return {"mode": mode}
+
+
 def _init_quantized_dit(dit_cfg, mode: str = "int8"):
     """Build a quantized DiT param tree WITHOUT materializing the full bf16
     stack first: the int8 stack is preallocated on device and one layer at a
@@ -470,11 +483,11 @@ def _init_quantized_dit(dit_cfg, mode: str = "int8"):
 
     one = dc.replace(dit_cfg, num_layers=1)
     qinit = jax.jit(lambda k: quantize_dit_params(
-        dit_lib.init_dit_params(k, one), mode=mode))
+        dit_lib.init_dit_params(k, one), **_qspec(mode)))
 
     stacked = jax.eval_shape(
         lambda k: quantize_dit_params(dit_lib.init_dit_params(k, dit_cfg),
-                                      mode=mode),
+                                      **_qspec(mode)),
         jax.random.PRNGKey(0))
     blocks = jax.jit(lambda: jax.tree_util.tree_map(
         lambda l: jnp.zeros(l.shape, l.dtype), stacked["blocks"]))()
@@ -513,7 +526,7 @@ def quantized_dit_bytes(layers: int, mode: str = "int8") -> int:
                      param_dtype=jnp.bfloat16)
     shapes = jax.eval_shape(
         lambda k: quantize_dit_params(dit_lib.init_dit_params(k, cfg),
-                                      mode=mode),
+                                      **_qspec(mode)),
         jax.random.PRNGKey(0))
     return sum(l.size * l.dtype.itemsize
                for l in jax.tree_util.tree_leaves(shapes))
@@ -741,7 +754,8 @@ def bench_e2e_int4_full(mode: str = "int4") -> dict | None:
     tests/test_quant.py::test_int4_pipeline_psnr_gate resp.
     test_int4_a8_pipeline_psnr_gate. Feasibility persists to
     bench_cache.json like the int8 probe."""
-    cache_key = {"int4": "int4_e2e_40", "int4_a8": "int4a8_e2e_40"}[mode]
+    cache_key = {"int4": "int4_e2e_40", "int4_a8": "int4a8_e2e_40",
+                 "int4_a8_mixed": "int4a8mix_e2e_40"}[mode]
     hist = _feasibility_entry(cache_key)
     if hist.get("infeasible"):
         print(f"[bench] cached: {mode} 40-layer e2e infeasible at this "
@@ -895,6 +909,8 @@ def _assemble(partial: dict) -> dict:
     e2e_int4_c = partial.get("e2e_int4_40_cached")
     e2e_int4a8 = partial.get("e2e_int4a8_40")
     e2e_int4a8_c = partial.get("e2e_int4a8_40_cached")
+    e2e_mixed = partial.get("e2e_mixed_40")
+    e2e_mixed_c = partial.get("e2e_mixed_40_cached")
     dit1_q4a8 = partial.get("dit1_q4a8")
     e2e_int4_8 = partial.get("e2e_int4_8")
     e2e_reason = partial.get("e2e_reason")
@@ -1051,6 +1067,15 @@ def _assemble(partial: dict) -> dict:
             e2e_int4a8 and N_CHIPS_TARGET / e2e_int4a8["measured_s"], 3),
         "est_edits_per_s_v5e8_int4a8_cached_replicated": r(
             e2e_int4a8_c and N_CHIPS_TARGET / e2e_int4a8_c["measured_s"], 3),
+        # round-5 fidelity flagship: w4a8 + measured-sensitivity int8
+        # upgrades (quant.INT4_MIXED_UPGRADE), the full 14B on one chip at a
+        # >=30 dB pipeline gate (tests/test_quant.py mixed gate)
+        "e2e_measured_s_1chip_40layer_mixed": r(
+            e2e_mixed and e2e_mixed["measured_s"], 3),
+        "e2e_measured_s_1chip_40layer_mixed_blockcache": r(
+            e2e_mixed_c and e2e_mixed_c["measured_s"], 3),
+        "est_edits_per_s_v5e8_mixed_cached_replicated": r(
+            e2e_mixed_c and N_CHIPS_TARGET / e2e_mixed_c["measured_s"], 3),
         "dit_block_s_1chip_b1_int4a8": r(
             dit1_q4a8 and dit1_q4a8["per_block_s"], 5),
         # extrapolation-model calibration (VERDICT r3 #3): full-depth int4
@@ -1242,6 +1267,19 @@ def main():
         PARTIAL["e2e_int4a8_40_cached"] = stage(
             "e2e_int4a8_40_cached", bench_e2e_pipeline_s, layers=40,
             quantize="int4_a8", cache=((8, 32), 2), min_remaining=420)
+    _emit_progress()
+    _release_device_memory()
+    # round-5 fidelity flagship: w4a8 + measured-sensitivity int8 upgrades
+    # (>=30 dB pipeline gate vs pure int4's 28.5) — +1.18 GB of weights
+    PARTIAL["e2e_mixed_40"] = stage(
+        "e2e_mixed_40", bench_e2e_int4_full, mode="int4_a8_mixed",
+        min_remaining=420)
+    _emit_progress()
+    _release_device_memory()
+    if PARTIAL.get("e2e_mixed_40"):
+        PARTIAL["e2e_mixed_40_cached"] = stage(
+            "e2e_mixed_40_cached", bench_e2e_pipeline_s, layers=40,
+            quantize="int4_a8_mixed", cache=((8, 32), 2), min_remaining=360)
     _emit_progress()
     _release_device_memory()
     # measured accelerated reasoning (VERDICT r3 #4): the 28.8k-token

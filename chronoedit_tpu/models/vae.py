@@ -378,7 +378,8 @@ def _spatial_shard(x: jnp.ndarray, mesh) -> jnp.ndarray:
 
 def vae_encode(params: Params, cfg: VAEConfig, video: jnp.ndarray,
                normalize: bool = True, mesh=None,
-               streaming: bool | None = None) -> jnp.ndarray:
+               streaming: bool | None = None,
+               spatial_tiles: int | None = None) -> jnp.ndarray:
     """Encode pixels in [-1, 1] -> normalized 16ch latents.
 
     Args:
@@ -390,36 +391,86 @@ def vae_encode(params: Params, cfg: VAEConfig, video: jnp.ndarray,
         conditioning volume: full-sequence front-stage feature maps are
         ~5 GB bf16 *each* at 720p and the program cannot fit one v5e chip;
         bitwise-equal paths, see ``test_streamed_encode_matches_full``).
+      spatial_tiles: W-axis tiling of the pre-mid encoder in the streaming
+        path (round 5, VERDICT r4 #3): even chunked, the 720p streaming
+        encode peaked at 8.6 GB of temps (measured, tools/diag_int4_oom.py
+        --stage encode) — the single largest HBM term of the reasoning
+        pipeline. Tiles run with an :func:`_encoder_halo` overlap (exact
+        interior results; the global-attention mid block runs untiled at
+        the cheap bottleneck scale), cutting the conv peak ~proportionally
+        at ~1.5x encoder FLOPs for 4 tiles. ``None`` auto-selects: 4 tiles
+        when streaming at W >= 1024, else untiled.
     Returns: (B, 16, 1+(T-1)//4, H/8, W/8).
     """
     x = _to_tlast(video).astype(cfg.dtype)
     x = _spatial_shard(x, mesh)
     t = x.shape[1]
+    b = x.shape[0]
     if streaming is None:
         streaming = t > 5
+    sf = cfg.spatial_factor
+    if spatial_tiles is None:
+        w = x.shape[3]
+        spatial_tiles = (4 if streaming and w >= 1024 and w % (4 * sf) == 0
+                         else 1)
     if not streaming or t == 1:
         moments = _encoder(params["encoder"], x)
     else:
         tfac = cfg.temporal_factor
         if (t - 1) % tfac:
             raise ValueError(f"streamed encode needs T = 1 + {tfac}k, got {t}")
-        # chunk 0 (pixel frame 0) primes the caches; chunks 1.. are
-        # shape-identical (tfac pixel frames -> 1 latent frame) and run
-        # under one scan, so peak memory is one chunk's features + caches
         enc = params["encoder"]
-        out0, cache = _encoder_stream(enc, x[:, :1], None)
-        chunks = x[:, 1:].reshape(x.shape[0], (t - 1) // tfac, tfac,
-                                  *x.shape[2:])
+        chunks = x[:, 1:].reshape(b, (t - 1) // tfac, tfac, *x.shape[2:])
+        if spatial_tiles > 1:
+            w = x.shape[3]
+            if w % (spatial_tiles * sf):
+                raise ValueError(
+                    f"W={w} not divisible by spatial_tiles*{sf}")
+            halo = _encoder_halo(cfg)
+            tile = w // spatial_tiles
+            parts = []
+            for k in range(spatial_tiles):
+                w0, w1 = k * tile, (k + 1) * tile
+                s0, s1 = max(0, w0 - halo), min(w, w1 + halo)
+                h0, cache = _encoder_stages_stream(enc, x[:, :1, :, s0:s1],
+                                                   None)
 
-        def step(cache, xc):
-            out, cache = _encoder_stream(enc, xc, cache)
-            return cache, out
+                def sstep(cache, xc):
+                    h, cache = _encoder_stages_stream(enc, xc, cache)
+                    return cache, h
 
-        _, outs = jax.lax.scan(step, cache, jnp.moveaxis(chunks, 1, 0))
-        # outs: (n, B, 1, hl, wl, C) -> (B, n, hl, wl, C)
-        outs = jnp.moveaxis(outs, 0, 1).reshape(
-            x.shape[0], -1, *outs.shape[3:])
-        moments = jnp.concatenate([out0, outs], axis=1)
+                _, hs = jax.lax.scan(
+                    sstep, cache, jnp.moveaxis(chunks[:, :, :, :, s0:s1], 1, 0))
+                hs = jnp.moveaxis(hs, 0, 1).reshape(b, -1, *hs.shape[3:])
+                ht = jnp.concatenate([h0, hs], axis=1)
+                v0 = (w0 - s0) // sf
+                parts.append(ht[:, :, :, v0:v0 + tile // sf])
+            hmid = jnp.concatenate(parts, axis=3)
+            # mid + head: global attention, untiled, streamed per frame
+            m0, mc = _encoder_mid_stream(enc, hmid[:, :1], None)
+
+            def mstep(c, hf):
+                m, c = _encoder_mid_stream(enc, hf, c)
+                return c, m
+
+            _, ms = jax.lax.scan(mstep, mc,
+                                 jnp.moveaxis(hmid[:, 1:, None], 1, 0))
+            ms = jnp.moveaxis(ms, 0, 1).reshape(b, -1, *ms.shape[3:])
+            moments = jnp.concatenate([m0, ms], axis=1)
+        else:
+            # chunk 0 (pixel frame 0) primes the caches; chunks 1.. are
+            # shape-identical (tfac pixel frames -> 1 latent frame) and run
+            # under one scan, so peak memory is one chunk's features+caches
+            out0, cache = _encoder_stream(enc, x[:, :1], None)
+
+            def step(cache, xc):
+                out, cache = _encoder_stream(enc, xc, cache)
+                return cache, out
+
+            _, outs = jax.lax.scan(step, cache, jnp.moveaxis(chunks, 1, 0))
+            # outs: (n, B, 1, hl, wl, C) -> (B, n, hl, wl, C)
+            outs = jnp.moveaxis(outs, 0, 1).reshape(b, -1, *outs.shape[3:])
+            moments = jnp.concatenate([out0, outs], axis=1)
     moments = causal_conv3d(params["quant_conv"], moments)  # kt=1
     mu = moments[..., : cfg.z_dim]
     if normalize and cfg.z_dim == WAN_LATENT_MEAN.size:
@@ -511,11 +562,13 @@ def _temporal_down_stream(p: Params, x: jnp.ndarray, cache):
     return out, xin[:, 2 * ((tc - 1) // 2):]
 
 
-def _encoder_stream(p: Params, x: jnp.ndarray, cache):
-    """One pixel chunk through the encoder; returns (moment features, new
-    cache pytree). ``cache=None`` marks the first chunk (must contain
-    global frame 0 — the temporal-down identity frame and the causal zero
-    pads both prime on it)."""
+def _encoder_stages_stream(p: Params, x: jnp.ndarray, cache):
+    """Pre-mid encoder (conv_in + down stages) on one pixel chunk.
+
+    Purely convolutional — every op has a bounded spatial receptive field
+    (:func:`_encoder_halo`), so this part can run on W-tiles with halo
+    overlap and exact interior results. Returns (bottleneck features, new
+    cache pytree); ``cache=None`` marks the first chunk."""
     c = dict(cache) if cache else {}
     first = cache is None
 
@@ -531,12 +584,55 @@ def _encoder_stream(p: Params, x: jnp.ndarray, cache):
             if "time_down" in stage:
                 h, c[f"s{i}td"] = _temporal_down_stream(
                     stage["time_down"], h, get(f"s{i}td"))
+    return h, c
+
+
+def _encoder_mid_stream(p: Params, h: jnp.ndarray, cache):
+    """Mid block (res + GLOBAL spatial attention + res) and moment head on
+    bottleneck-scale features. The attention sees the full H x W grid, so
+    this part must run untiled — cheap: the bottleneck is spatial_factor^2
+    smaller than the input."""
+    c = dict(cache) if cache else {}
+    first = cache is None
+
+    def get(k):
+        return None if first else c.get(k)
+
     h, c["mid_res1"] = _res_block_stream(p["mid"]["res1"], h, get("mid_res1"))
     h = _attn_block(p["mid"]["attn"], h)  # kt=1 convs, frame-local
     h, c["mid_res2"] = _res_block_stream(p["mid"]["res2"], h, get("mid_res2"))
     h = jax.nn.silu(_rms(p["head_norm"], h))
     h, c["head"] = _conv_stream(p["head_conv"], h, get("head"))
     return h, c
+
+
+def _encoder_stream(p: Params, x: jnp.ndarray, cache):
+    """One pixel chunk through the encoder; returns (moment features, new
+    cache pytree). ``cache=None`` marks the first chunk (must contain
+    global frame 0 — the temporal-down identity frame and the causal zero
+    pads both prime on it)."""
+    cs, cm = (None, None) if cache is None else (cache["stages"],
+                                                 cache["mid"])
+    h, cs = _encoder_stages_stream(p, x, cs)
+    h, cm = _encoder_mid_stream(p, h, cm)
+    return h, {"stages": cs, "mid": cm}
+
+
+def _encoder_halo(cfg: VAEConfig) -> int:
+    """Spatial receptive-field halo (input px) of the PRE-MID encoder,
+    rounded up to the spatial factor: a W-tile computed with this much
+    overlap on each side produces bitwise-interior-exact bottleneck
+    features. Each 3x3 conv at stage scale s adds +-s px; the stride-2
+    down conv adds +-2s. 14B geometry (dim_mult (1,2,4,4), 2 res blocks):
+    1 + 4+2 + 8+4 + 16+8 + 32 = 75 -> halo 80."""
+    rf, scale = 1, 1  # conv_in
+    for i in range(len(cfg.dim_mult)):
+        rf += 2 * cfg.num_res_blocks * scale
+        if i < len(cfg.dim_mult) - 1:
+            rf += 2 * scale
+            scale *= 2
+    sf = cfg.spatial_factor
+    return -(-rf // sf) * sf
 
 
 def _decoder_stream(p: Params, z: jnp.ndarray, cache):

@@ -82,6 +82,11 @@ def _maximal_partial():
         "dit1_q4": {"per_block_s": 0.031, "overhead_s": 0.01, "readback_s": 0.0},
         "e2e": {"layers": 8, "quantize": False, "measured_s": 3.383},
         "e2e_int4_40": {"layers": 40, "quantize": "int4", "measured_s": 11.2},
+        "e2e_mixed_40": {"layers": 40, "quantize": "int4_a8_mixed",
+                         "measured_s": 10.9},
+        "e2e_mixed_40_cached": {"layers": 40, "quantize": "int4_a8_mixed",
+                                "measured_s": 8.4, "cache_blocks": [8, 32],
+                                "cache_period": 2},
         "e2e_int4_8": {"layers": 8, "quantize": "int4", "measured_s": 3.1},
         "e2e_reason": {"layers": 20, "quantize": True, "measured_s": 71.0,
                        "reasoning": True},

@@ -97,6 +97,36 @@ def _measure_lora(layers: int, remat: str) -> float:
     return t
 
 
+def _measure_qlora(layers: int, remat: str) -> float:
+    """QLoRA step (round 5, VERDICT r4 #4): frozen w4a8 base (~0.23 GB/layer
+    — built layer-by-layer so no bf16 stack ever materializes) + bf16
+    rank-32 adapters via the attach (side-branch) path with STE gradients.
+    The base that full fine-tuning could never fit (f32 Adam moments alone
+    are ~2.9 GB/layer) trains at FULL 40-layer depth on one chip."""
+    from bench import _init_quantized_dit
+
+    cfg = dataclasses.replace(chronoedit_14b().dit, num_layers=layers,
+                              param_dtype=jnp.bfloat16, remat=remat)
+    tcfg = TrainConfig(warmup_steps=1)
+    batch = batch_720p(cfg)
+    qparams = _init_quantized_dit(cfg, mode="int4_a8")
+    lcfg = lora_lib.LoRAConfig(rank=32)
+    # adapter shapes come from the config, not the packed tree: init a
+    # 1-layer float skeleton and broadcast the stacked shapes
+    skel = dit_lib.init_dit_params(
+        jax.random.PRNGKey(1), dataclasses.replace(cfg, num_layers=1))
+    lora1 = lora_lib.init_lora_params(jax.random.PRNGKey(2), skel, lcfg)
+    lora = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (layers,) + a.shape[1:]), lora1)
+    del skel, lora1
+    lstate = make_lora_train_state(lora, tcfg)
+    lstep = make_lora_train_step(cfg, tcfg, lcfg, donate=True)
+    t = time_steps(lstep, lstate, qparams, batch)
+    del qparams, lora, lstate
+    _release()
+    return t
+
+
 def _probe_deepest(measure, depths) -> tuple[int, float] | None:
     """Walk depths descending; return the first (deepest) that runs."""
     for layers in depths:
@@ -156,6 +186,15 @@ def main():
         # LoRA step: frozen bf16 params dominate (~0.72 GB/layer)
         lora = _probe_deepest(lambda n: _measure_lora(n, remat),
                               (16, 12, 8, 4, 2))
+        # QLoRA step: frozen w4a8 base (~0.23 GB/layer) — full depth is the
+        # expected landing point (round 5, VERDICT r4 #4)
+        qlora = _probe_deepest(lambda n: _measure_qlora(n, remat),
+                               (40, 36, 32, 24, 16))
+        if qlora:
+            out[f"qlora_step_{tag}"] = {
+                "layers": qlora[0], "step_s_1chip": round(qlora[1], 3),
+                "step_s_40layer_est": round(qlora[1] * 40 / qlora[0], 3),
+                "base": "int4_a8"}
         if full:
             out[f"full_step_{tag}"] = {
                 "layers": full[0], "step_s_1chip": round(full[1], 3),

@@ -558,7 +558,10 @@ def bench_e2e_pipeline_s(layers: int = 8, quantize=False,
 
     cfg = chronoedit_14b_distilled()
     cfg = dc.replace(cfg, dit=dc.replace(cfg.dit, num_layers=layers,
-                                         param_dtype=jnp.bfloat16))
+                                         param_dtype=jnp.bfloat16,
+                                         # capacity diet at the 28.8k shape:
+                                         # token-chunked ffn (identical math)
+                                         ffn_chunks=4 if reasoning else 1))
     if cache is not None:
         cfg = dc.replace(cfg, cache_blocks=tuple(cache[0]),
                          cache_period=cache[1])

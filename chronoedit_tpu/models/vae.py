@@ -411,10 +411,35 @@ def vae_encode(params: Params, cfg: VAEConfig, video: jnp.ndarray,
     sf = cfg.spatial_factor
     if spatial_tiles is None:
         w = x.shape[3]
-        spatial_tiles = (4 if streaming and w >= 1024 and w % (4 * sf) == 0
-                         else 1)
+        spatial_tiles = 4 if w >= 1024 and w % (4 * sf) == 0 else 1
     if not streaming or t == 1:
-        moments = _encoder(params["encoder"], x)
+        enc = params["encoder"]
+        if spatial_tiles > 1:
+            # full-sequence tiled: cache=None streaming parts ARE the
+            # full-sequence math (a zero cache is the causal left pad), so
+            # the W-tiled pre-mid + untiled mid applies here too — the
+            # full-res fp32 norm temps dominate even the 5-frame edit
+            # encode's peak
+            w = x.shape[3]
+            if w % (spatial_tiles * sf):
+                raise ValueError(
+                    f"W={w} not divisible by spatial_tiles*{sf}")
+            tile, wt, starts = _tile_plan(w, spatial_tiles,
+                                          _encoder_halo(cfg))
+            tiles_x = jnp.stack([x[:, :, :, s:s + wt] for s in starts])
+
+            def tile_step(carry, xt):
+                h, _ = _encoder_stages_stream(enc, xt, None)
+                return carry, h
+
+            _, hts = jax.lax.scan(tile_step, 0, tiles_x)
+            hmid = jnp.concatenate(
+                [hts[k][:, :, :, (k * tile - s) // sf:
+                        (k * tile - s) // sf + tile // sf]
+                 for k, s in enumerate(starts)], axis=3)
+            moments, _ = _encoder_mid_stream(enc, hmid, None)
+        else:
+            moments = _encoder(enc, x)
     else:
         tfac = cfg.temporal_factor
         if (t - 1) % tfac:
@@ -426,25 +451,31 @@ def vae_encode(params: Params, cfg: VAEConfig, video: jnp.ndarray,
             if w % (spatial_tiles * sf):
                 raise ValueError(
                     f"W={w} not divisible by spatial_tiles*{sf}")
-            halo = _encoder_halo(cfg)
-            tile = w // spatial_tiles
-            parts = []
-            for k in range(spatial_tiles):
-                w0, w1 = k * tile, (k + 1) * tile
-                s0, s1 = max(0, w0 - halo), min(w, w1 + halo)
-                h0, cache = _encoder_stages_stream(enc, x[:, :1, :, s0:s1],
-                                                   None)
+            # clamped uniform-width slices: every tile shares one shape, so
+            # the per-tile chunk scan compiles ONCE and runs under an outer
+            # scan (the python-unrolled version generated 323 MB of code)
+            tile, wt, starts = _tile_plan(w, spatial_tiles,
+                                          _encoder_halo(cfg))
+            tiles_x = jnp.stack([x[:, :, :, s:s + wt] for s in starts])
+
+            def tile_step(carry, xt):
+                h0, cache = _encoder_stages_stream(enc, xt[:, :1], None)
+                ck = xt[:, 1:].reshape(b, (t - 1) // tfac, tfac,
+                                       *xt.shape[2:])
 
                 def sstep(cache, xc):
                     h, cache = _encoder_stages_stream(enc, xc, cache)
                     return cache, h
 
-                _, hs = jax.lax.scan(
-                    sstep, cache, jnp.moveaxis(chunks[:, :, :, :, s0:s1], 1, 0))
+                _, hs = jax.lax.scan(sstep, cache, jnp.moveaxis(ck, 1, 0))
                 hs = jnp.moveaxis(hs, 0, 1).reshape(b, -1, *hs.shape[3:])
-                ht = jnp.concatenate([h0, hs], axis=1)
-                v0 = (w0 - s0) // sf
-                parts.append(ht[:, :, :, v0:v0 + tile // sf])
+                return carry, jnp.concatenate([h0, hs], axis=1)
+
+            _, hts = jax.lax.scan(tile_step, 0, tiles_x)
+            parts = []
+            for k, s in enumerate(starts):
+                v0 = (k * tile - s) // sf
+                parts.append(hts[k][:, :, :, v0:v0 + tile // sf])
             hmid = jnp.concatenate(parts, axis=3)
             # mid + head: global attention, untiled, streamed per frame
             m0, mc = _encoder_mid_stream(enc, hmid[:, :1], None)
@@ -618,6 +649,16 @@ def _encoder_stream(p: Params, x: jnp.ndarray, cache):
     return h, {"stages": cs, "mid": cm}
 
 
+def _tile_plan(w: int, tiles: int, halo: int) -> tuple[int, int, list[int]]:
+    """Uniform-width W-tiling: (tile, padded width, clamped start offsets).
+    Every tile shares one shape so the per-tile computation compiles once
+    and runs under a lax.scan over stacked tiles."""
+    tile = w // tiles
+    wt = min(tile + 2 * halo, w)
+    starts = [min(max(k * tile - halo, 0), w - wt) for k in range(tiles)]
+    return tile, wt, starts
+
+
 def _encoder_halo(cfg: VAEConfig) -> int:
     """Spatial receptive-field halo (input px) of the PRE-MID encoder,
     rounded up to the spatial factor: a W-tile computed with this much
@@ -635,9 +676,10 @@ def _encoder_halo(cfg: VAEConfig) -> int:
     return -(-rf // sf) * sf
 
 
-def _decoder_stream(p: Params, z: jnp.ndarray, cache):
-    """One chunk through the decoder; returns (pixels, new cache pytree).
-    ``cache=None`` marks the first chunk (must contain global frame 0)."""
+def _decoder_mid_stream(p: Params, z: jnp.ndarray, cache):
+    """conv_in + mid block (res + GLOBAL spatial attention + res) on one
+    latent chunk — must run untiled (the attention sees the full grid), but
+    lives at the cheap latent scale."""
     c = dict(cache) if cache else {}
     first = cache is None
 
@@ -648,6 +690,19 @@ def _decoder_stream(p: Params, z: jnp.ndarray, cache):
     h, c["mid_res1"] = _res_block_stream(p["mid"]["res1"], h, get("mid_res1"))
     h = _attn_block(p["mid"]["attn"], h)  # kt=1 convs, frame-local
     h, c["mid_res2"] = _res_block_stream(p["mid"]["res2"], h, get("mid_res2"))
+    return h, c
+
+
+def _decoder_stages_stream(p: Params, h: jnp.ndarray, cache):
+    """Post-mid decoder (up stages + pixel head) on one chunk. Purely
+    convolutional — tileable along W with an :func:`_decoder_halo` overlap
+    (exact interior results)."""
+    c = dict(cache) if cache else {}
+    first = cache is None
+
+    def get(k):
+        return None if first else c.get(k)
+
     for i, stage in enumerate(p["stages"]):
         for j, blk in enumerate(stage["blocks"]):
             h, c[f"s{i}b{j}"] = _res_block_stream(blk, h, get(f"s{i}b{j}"))
@@ -661,15 +716,52 @@ def _decoder_stream(p: Params, z: jnp.ndarray, cache):
     return h, c
 
 
+def _decoder_stream(p: Params, z: jnp.ndarray, cache):
+    """One chunk through the decoder; returns (pixels, new cache pytree).
+    ``cache=None`` marks the first chunk (must contain global frame 0)."""
+    cm, cs = (None, None) if cache is None else (cache["mid"],
+                                                 cache["stages"])
+    h, cm = _decoder_mid_stream(p, z, cm)
+    h, cs = _decoder_stages_stream(p, h, cs)
+    return h, {"mid": cm, "stages": cs}
+
+
+def _decoder_halo(cfg: VAEConfig) -> int:
+    """Spatial receptive-field halo (LATENT px) of the POST-MID decoder: a
+    latent W-tile computed with this much overlap produces exact interior
+    pixels. A 3x3 conv at up-stage scale s (relative to latent) adds
+    +-1/s latent px; decoder stages carry num_res_blocks+1 blocks. 14B
+    geometry: 6 + 0.5 + 3 + 0.25 + 1.5 + 0.125 + 0.75 + 0.125 = 12.25
+    -> 14 (one-px safety)."""
+    rf, scale = 0.0, 1.0
+    n = len(cfg.dim_mult)
+    for i in range(n):
+        rf += 2 * (cfg.num_res_blocks + 1) / scale
+        if i < n - 1:
+            scale *= 2
+            rf += 1.0 / scale  # post-upsample 3x3 conv
+    rf += 1.0 / scale  # head conv
+    return int(np.ceil(rf)) + 1
+
+
 def vae_decode(params: Params, cfg: VAEConfig, latents: jnp.ndarray,
                normalize: bool = True, mesh=None,
-               streaming: bool | None = None) -> jnp.ndarray:
+               streaming: bool | None = None,
+               spatial_tiles: int | None = None) -> jnp.ndarray:
     """Decode normalized latents -> pixels (B, 3, (Tl-1)*4+1, H*8, W*8).
 
     ``streaming=None`` auto-selects: full-sequence for short clips (the
     2-latent-frame edit decode), chunked streaming beyond (temporal-
     reasoning trajectories) — bitwise-equal paths, different peak memory.
+
+    ``spatial_tiles`` (round 5, VERDICT r4 #3): W-tiling of the post-mid
+    decoder in the streaming path — the full-res up-stage features dominate
+    the decode's temp peak; tiles run with a :func:`_decoder_halo` latent-px
+    overlap (exact interior pixels; the global-attention mid runs untiled
+    at latent scale). ``None`` auto-selects 4 tiles when streaming at
+    latent W >= 128.
     """
+    b = latents.shape[0]
     z = _to_tlast(latents).astype(cfg.dtype)
     z = _spatial_shard(z, mesh)
     if normalize and cfg.z_dim == WAN_LATENT_MEAN.size:
@@ -679,17 +771,84 @@ def vae_decode(params: Params, cfg: VAEConfig, latents: jnp.ndarray,
     z = causal_conv3d(params["post_quant_conv"], z)  # kt=1, frame-local
 
     tl = z.shape[1]
+    wl = z.shape[3]
+    sf = cfg.spatial_factor
     if streaming is None:
         streaming = tl > 2
+    if spatial_tiles is None:
+        spatial_tiles = 4 if wl >= 128 and wl % 4 == 0 else 1
+    dec = params["decoder"]
     if not streaming or tl == 1:
-        return _to_cfirst(_decoder(params["decoder"], z))
+        if spatial_tiles > 1:
+            # full-sequence tiled (cache=None stream parts == full-sequence
+            # math): the decoder's full-res fp32 norm temps (1.3 GB each at
+            # 720p, the measured top allocations of the r5 OOM) dominate
+            # even the 2-latent-frame edit decode; tiles cut them 4x
+            if wl % spatial_tiles:
+                raise ValueError(
+                    f"latent W={wl} not divisible by spatial_tiles")
+            h, _ = _decoder_mid_stream(dec, z, None)
+            tile, wt, starts = _tile_plan(wl, spatial_tiles,
+                                          _decoder_halo(cfg))
+            tiles_h = jnp.stack([h[:, :, :, s:s + wt] for s in starts])
+
+            def tile_step(carry, ht):
+                o, _ = _decoder_stages_stream(dec, ht, None)
+                return carry, o
+
+            _, out_tiles = jax.lax.scan(tile_step, 0, tiles_h)
+            parts = [out_tiles[k][:, :, :, (k * tile - s) * sf:
+                                  (k * tile - s) * sf + tile * sf]
+                     for k, s in enumerate(starts)]
+            return _to_cfirst(jnp.concatenate(parts, axis=3))
+        return _to_cfirst(_decoder(dec, z))
+
+    if spatial_tiles > 1:
+        if wl % spatial_tiles:
+            raise ValueError(
+                f"latent W={wl} not divisible by spatial_tiles")
+        # mid pass (global attention) untiled, streamed per latent frame —
+        # bottleneck-scale features are spatial_factor^2 cheaper than pixels
+        m0, mc = _decoder_mid_stream(dec, z[:, :1], None)
+
+        def mstep(c, zf):
+            m, c = _decoder_mid_stream(dec, zf, c)
+            return c, m
+
+        _, ms = jax.lax.scan(mstep, mc, jnp.moveaxis(z[:, 1:, None], 1, 0))
+        ms = jnp.moveaxis(ms, 0, 1).reshape(b, tl - 1, *ms.shape[3:])
+        hmid = jnp.concatenate([m0, ms], axis=1)  # (B, Tl, hl, wl, C)
+
+        tile, wt, starts = _tile_plan(wl, spatial_tiles, _decoder_halo(cfg))
+        tiles_h = jnp.stack([hmid[:, :, :, s:s + wt] for s in starts])
+
+        def tile_step(carry, ht):
+            o0, cache = _decoder_stages_stream(dec, ht[:, :1], None)
+
+            def sstep(cache, hf):
+                o, cache = _decoder_stages_stream(dec, hf, cache)
+                return cache, o
+
+            _, outs = jax.lax.scan(sstep, cache,
+                                   jnp.moveaxis(ht[:, 1:, None], 1, 0))
+            t_rest = outs.shape[0] * outs.shape[2]
+            outs = jnp.moveaxis(outs, 0, 1).reshape(b, t_rest,
+                                                    *outs.shape[3:])
+            return carry, jnp.concatenate([o0, outs], axis=1)
+
+        _, out_tiles = jax.lax.scan(tile_step, 0, tiles_h)
+        parts = []
+        for k, s in enumerate(starts):
+            v0 = (k * tile - s) * sf
+            parts.append(out_tiles[k][:, :, :, v0:v0 + tile * sf])
+        return _to_cfirst(jnp.concatenate(parts, axis=3))
 
     # chunk 0 primes the caches; chunks 1.. are shape-identical and run
     # under one scan (each: 1 latent frame -> temporal_factor px frames)
-    out0, cache = _decoder_stream(params["decoder"], z[:, :1], None)
+    out0, cache = _decoder_stream(dec, z[:, :1], None)
 
     def step(cache, z_frame):
-        out, cache = _decoder_stream(params["decoder"], z_frame, cache)
+        out, cache = _decoder_stream(dec, z_frame, cache)
         return cache, out
 
     # xs: (B, tl-1, H, W, C) -> (tl-1, B, 1, H, W, C)

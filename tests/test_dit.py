@@ -58,6 +58,25 @@ def test_forward_shape_and_finite():
     assert bool(jnp.isfinite(out).all())
 
 
+def test_ffn_token_chunking_exact():
+    """round 5 (VERDICT r4 #3): the token-chunked ffn (capacity diet for the
+    28.8k reasoning shape) must match the unchunked forward exactly."""
+    import dataclasses
+
+    params = _randomize(dit_lib.init_dit_params(jax.random.PRNGKey(0), TINY),
+                        jax.random.PRNGKey(1))
+    x, ts, text, img = _inputs(TINY)
+    args = (jnp.asarray(x), jnp.asarray(ts), jnp.asarray(text),
+            jnp.asarray(img))
+    ref = dit_lib.dit_forward(params, TINY, *args)
+    # S = 2*2*2 = 8 tokens -> 2 and 4 chunks divide; 3 falls back unchunked
+    for chunks in (2, 4, 3):
+        cfg = dataclasses.replace(TINY, ffn_chunks=chunks)
+        out = dit_lib.dit_forward(params, cfg, *args)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6, rtol=1e-6)
+
+
 def test_scalar_vs_per_frame_timesteps():
     params = _randomize(dit_lib.init_dit_params(jax.random.PRNGKey(0), TINY),
                         jax.random.PRNGKey(1))

@@ -193,12 +193,14 @@ def test_tiled_streaming_encode_matches_untiled(tiny_vae):
     untiled streamed encode — the halo covers the pre-mid receptive field,
     so interior results are identical. This is the lever that cut the 720p
     reasoning encode's measured 8.6 GB temp peak."""
-    for T, tiles in ((9, 2), (5, 4)):
-        x = jax.random.normal(jax.random.PRNGKey(30 + T), (1, 3, T, 16, 64))
+    for T, tiles, streaming in ((9, 2, True), (5, 4, True), (5, 2, False),
+                                (3, 4, False)):
+        x = jax.random.normal(jax.random.PRNGKey(30 + T + tiles),
+                              (1, 3, T, 16, 64))
         ref = vae_lib.vae_encode(tiny_vae, TINY, x, normalize=False,
-                                 streaming=True, spatial_tiles=1)
+                                 streaming=streaming, spatial_tiles=1)
         tiled = vae_lib.vae_encode(tiny_vae, TINY, x, normalize=False,
-                                   streaming=True, spatial_tiles=tiles)
+                                   streaming=streaming, spatial_tiles=tiles)
         assert tiled.shape == ref.shape
         np.testing.assert_allclose(np.asarray(tiled, np.float32),
                                    np.asarray(ref, np.float32),
@@ -208,6 +210,28 @@ def test_tiled_streaming_encode_matches_untiled(tiny_vae):
         vae_lib.vae_encode(tiny_vae, TINY,
                            jax.random.normal(jax.random.PRNGKey(1),
                                              (1, 3, 9, 16, 60)),
+                           normalize=False, streaming=True, spatial_tiles=4)
+
+
+def test_tiled_streaming_decode_matches_untiled(tiny_vae):
+    """round 5: W-tiled streaming decode (mid untiled at latent scale,
+    halo'd up-stages per tile) must exactly match the untiled stream."""
+    for tl, tiles, streaming in ((5, 2, True), (4, 4, True), (2, 2, False),
+                                 (3, 4, False)):
+        z = jax.random.normal(jax.random.PRNGKey(40 + tl + tiles),
+                              (1, TINY.z_dim, tl, 8, 32))
+        ref = vae_lib.vae_decode(tiny_vae, TINY, z, normalize=False,
+                                 streaming=streaming, spatial_tiles=1)
+        tiled = vae_lib.vae_decode(tiny_vae, TINY, z, normalize=False,
+                                   streaming=streaming, spatial_tiles=tiles)
+        assert tiled.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(tiled, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=2e-5, rtol=2e-5)
+    with pytest.raises(ValueError):
+        vae_lib.vae_decode(tiny_vae, TINY,
+                           jax.random.normal(jax.random.PRNGKey(1),
+                                             (1, TINY.z_dim, 5, 8, 30)),
                            normalize=False, streaming=True, spatial_tiles=4)
 
 

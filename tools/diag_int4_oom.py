@@ -57,6 +57,8 @@ def main():
                          "the VAE decode, or the conditioning encode alone "
                          "to localise the OOM")
     ap.add_argument("--run", action="store_true", help="execute after AOT")
+    ap.add_argument("--ffn-chunks", type=int, default=1,
+                    help="token-chunked ffn (capacity diet, models/dit.py)")
     args = ap.parse_args()
 
     import dataclasses as dc
@@ -68,7 +70,8 @@ def main():
 
     cfg = chronoedit_14b_distilled()
     cfg = dc.replace(cfg, dit=dc.replace(cfg.dit, num_layers=args.layers,
-                                         param_dtype=jnp.bfloat16))
+                                         param_dtype=jnp.bfloat16,
+                                         ffn_chunks=args.ffn_chunks))
     mem("start")
     dit_params = _init_quantized_dit(cfg.dit, mode=args.mode)
     w_bytes = sum(l.size * l.dtype.itemsize

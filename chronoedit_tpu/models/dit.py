@@ -80,6 +80,14 @@ class DiTConfig:
     # peak divided by `chunks` (the 28.8k-token reasoning hidden is 796 MB
     # bf16 per live copy). Serving capacity lever; 1 = off.
     ffn_chunks: int = 1
+    # int8 q/k score matmuls in self-attention (round 5, VERDICT r4 #7):
+    # serving-only (forward has no VJP) — per-token-quantized q and
+    # mean-centered k feed s8 MXU score dots at twice the bf16 rate
+    # (ops/flash_attention.flash_attention_qk_int8). Meant for the
+    # quantized serving recipes at streamed (28.8k reasoning) shapes;
+    # resident-planned short sequences silently stay bf16. PSNR-gated in
+    # tests/test_quant.py. Off by default.
+    attn_qk_int8: bool = False
     # context-parallel self-attention, used when a mesh with a context
     # axis > 1 is passed to dit_forward:
     # - "auto" (default): ulysses when heads divide the context axis, else
@@ -245,7 +253,8 @@ def _self_attention(p: Params, x: jnp.ndarray, rope_cos, rope_sin,
         attn = ring_attention if mode == "ring" else ulysses_attention
         out = attn(q, k, v, mesh)
     else:
-        out = dot_product_attention(q, k, v, mesh=mesh)
+        out = dot_product_attention(q, k, v, mesh=mesh,
+                                    qk_int8=cfg.attn_qk_int8)
     return L.linear(p["o"], _merge_heads(out))
 
 

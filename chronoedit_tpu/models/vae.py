@@ -410,8 +410,14 @@ def vae_encode(params: Params, cfg: VAEConfig, video: jnp.ndarray,
         streaming = t > 5
     sf = cfg.spatial_factor
     if spatial_tiles is None:
+        # auto-tile ONLY the streaming (reasoning) encode: its 8.6 GB conv
+        # temp peak is the reasoning pipeline's largest HBM term. The
+        # 5-frame edit encode fits untiled and the ~1.5x pre-mid FLOPs of
+        # tiling cost it ~0.17 s measured (round-5 rehearsal) — capacity-
+        # squeezed edit configs opt in via PipelineConfig.vae_spatial_tiles
         w = x.shape[3]
-        spatial_tiles = 4 if w >= 1024 and w % (4 * sf) == 0 else 1
+        spatial_tiles = (4 if streaming and w >= 1024 and w % (4 * sf) == 0
+                         else 1)
     if not streaming or t == 1:
         enc = params["encoder"]
         if spatial_tiles > 1:
@@ -776,7 +782,12 @@ def vae_decode(params: Params, cfg: VAEConfig, latents: jnp.ndarray,
     if streaming is None:
         streaming = tl > 2
     if spatial_tiles is None:
-        spatial_tiles = 4 if wl >= 128 and wl % 4 == 0 else 1
+        # auto-tile ONLY the streaming (trajectory) decode; the 2-frame
+        # edit decode fits untiled, and the halo overlap costs ~1.35x
+        # post-mid FLOPs (~0.44 s measured at 720p, round-5 rehearsal).
+        # Capacity-squeezed edit configs (full-depth quantized weights
+        # resident) opt in via PipelineConfig.vae_spatial_tiles
+        spatial_tiles = 4 if streaming and wl >= 128 and wl % 4 == 0 else 1
     dec = params["decoder"]
     if not streaming or tl == 1:
         if spatial_tiles > 1:

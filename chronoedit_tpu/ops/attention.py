@@ -38,6 +38,7 @@ def dot_product_attention(
     backend: str | None = None,
     mesh=None,
     head_axis: str = "tensor",
+    qk_int8: bool = False,
     _sharded: bool = False,
 ) -> jnp.ndarray:
     """Scaled dot-product attention, (B, S, H, D) layout, no mask (the DiT
@@ -92,7 +93,8 @@ def dot_product_attention(
                                out_specs=qspec, check_vma=False)
             def sharded(qi, ki, vi):
                 return dot_product_attention(qi, ki, vi, scale=scale,
-                                             backend=backend, _sharded=True)
+                                             backend=backend,
+                                             qk_int8=qk_int8, _sharded=True)
 
             return sharded(q, k, v)
 
@@ -111,8 +113,15 @@ def dot_product_attention(
     use_pallas = backend == "pallas" or (backend is None and _on_tpu())
     if use_pallas:
         try:
-            from chronoedit_tpu.ops.flash_attention import flash_attention
+            from chronoedit_tpu.ops.flash_attention import (
+                flash_attention, flash_attention_qk_int8)
 
+            if qk_int8:
+                # serving-only int8 q/k score matmuls (forward-only, no
+                # VJP; short resident-planned sequences fall back to bf16
+                # inside) — the quantized-mode attention lever, PSNR-gated
+                # in tests/test_quant.py
+                return flash_attention_qk_int8(q, k, v, scale=scale)
             return flash_attention(q, k, v, scale=scale)
         except NotImplementedError:
             if backend == "pallas":

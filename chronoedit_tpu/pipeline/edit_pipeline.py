@@ -56,6 +56,12 @@ class PipelineConfig:
     # solver steps (1 = exact / off). The reference has no equivalent.
     cache_blocks: tuple[int, int] | None = None
     cache_period: int = 1
+    # VAE W-tiling opt-in (round 5): None = the VAE's own auto rule (tile
+    # only streaming trajectory paths). Capacity-squeezed configs — a
+    # full-depth quantized DiT resident on one chip next to the 720p decode
+    # temps — set 4 to trade ~1.35x post-mid decoder FLOPs for a ~4x cut in
+    # the full-res fp32 norm temps (the r5 OOM dump's top allocations).
+    vae_spatial_tiles: int | None = None
     # adaptive refresh (TeaCache-style, arXiv:2411.19108 — ours gates on the
     # solver latents' accumulated relative L1 change, a jit-friendly scalar
     # carried through the denoise scan instead of the timestep-modulated
@@ -106,7 +112,8 @@ def prepare_condition(
         [image[:, :, None], jnp.zeros((b, c, num_frames - 1, h, w), image.dtype)],
         axis=2,
     )
-    cond_latents = vae_lib.vae_encode(vae_params, cfg.vae, video, mesh=mesh)
+    cond_latents = vae_lib.vae_encode(vae_params, cfg.vae, video, mesh=mesh,
+                                      spatial_tiles=cfg.vae_spatial_tiles)
 
     hl, wl = h // cfg.vae.spatial_factor, w // cfg.vae.spatial_factor
     # mask over pixel frames: frame 0 -> 1, rest 0; first frame replicated
@@ -398,12 +405,16 @@ class ChronoEditPipeline:
                 # dual decode (pipeline_chronoedit.py:776-781)
                 idx = jnp.array([0, final.shape[2] - 1])
                 video_edit = vae_lib.vae_decode(
-                    vae_params, cfg.vae, final[:, :, idx], mesh=self.mesh)
+                    vae_params, cfg.vae, final[:, :, idx], mesh=self.mesh,
+                    spatial_tiles=cfg.vae_spatial_tiles)
                 video_reason = vae_lib.vae_decode(
-                    vae_params, cfg.vae, final[:, :, :-1], mesh=self.mesh)
+                    vae_params, cfg.vae, final[:, :, :-1], mesh=self.mesh,
+                    spatial_tiles=cfg.vae_spatial_tiles)
                 return jnp.concatenate([video_reason, video_edit[:, :, 1:]],
                                        axis=2)
-            return vae_lib.vae_decode(vae_params, cfg.vae, final, mesh=self.mesh)
+            return vae_lib.vae_decode(vae_params, cfg.vae, final,
+                                      mesh=self.mesh,
+                                      spatial_tiles=cfg.vae_spatial_tiles)
 
         return run
 

@@ -210,3 +210,45 @@ def test_flash_k_major_bitwise_matches_row_major(monkeypatch):
         a, k, v, scale=128 ** -0.5, block_q=128, block_kv=128,
         k_major=True) ** 2))(q)
     assert bool(jnp.all(jnp.isfinite(g)))
+
+@pytest.mark.slow
+def test_flash_qk_int8_close_to_xla(monkeypatch):
+    """The int8-score streamed kernel (round 5: per-token-quantized q and
+    mean-centered k, s8 MXU score dots, rank-1 fp32 dequant) must track XLA
+    attention within int8 quantization error — on the masked (ragged final
+    block), grouped, and exact group-multiple paths — and the short-sequence
+    resident fallback must stay bitwise bf16."""
+    from chronoedit_tpu.ops import flash_attention as fa
+
+    monkeypatch.setattr(fa, "_RESIDENT_KV_BYTES", 1)
+    s = 384
+    ks = jax.random.split(jax.random.PRNGKey(23), 3)
+    q, k, v = [jax.random.normal(kk, (1, s, 2, 128), jnp.float32)
+               for kk in ks]
+    # shift K hard off zero-mean: the kernel's mean-centering must absorb it
+    k = k + 3.0
+    ref = np.asarray(dot_product_attention(q, k, v, backend="xla"))
+    for group in (1, 2, 3):  # 2 -> masked grouped; 3 -> exact multiple
+        got = np.asarray(fa.flash_attention_qk_int8(
+            q, k, v, scale=128 ** -0.5, block_q=128, block_kv=128,
+            group=group))
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        # per-token int8 noise floor: score RMS error ~ sqrt(2D)*(3sigma/127)
+        # /sqrt(12) -> ~1% relative on the output for normal data. The
+        # quality verdict is the pipeline PSNR gate (test_quant.py), not
+        # this kernel-level sanity bound.
+        assert rel < 2e-2, f"group={group}: rel={rel}"
+        # int8 scores must be closer than plain bf16 attention error scale
+        assert np.isfinite(got).all()
+
+
+def test_flash_qk_int8_resident_fallback():
+    """Resident-planned shapes take the bf16 kernel verbatim."""
+    from chronoedit_tpu.ops import flash_attention as fa
+
+    ks = jax.random.split(jax.random.PRNGKey(29), 3)
+    q, k, v = [jax.random.normal(kk, (1, 256, 2, 128), jnp.float32)
+               for kk in ks]
+    a = fa.flash_attention_qk_int8(q, k, v, scale=128 ** -0.5)
+    b = fa.flash_attention(q, k, v, scale=128 ** -0.5)
+    assert jnp.array_equal(a, b)

@@ -154,6 +154,13 @@ def main():
     ap.add_argument("--probe", action="store_true",
                     help="find the deepest single-chip depth per step kind, "
                          "measure there, write TRAIN_BENCH.json")
+    ap.add_argument("--only", default=None,
+                    choices=("full", "lora", "qlora"),
+                    help="with --probe: probe just one step kind and MERGE "
+                         "into the committed TRAIN_BENCH.json (the full "
+                         "3-kind x 2-remat probe is hours of 14B compiles)")
+    ap.add_argument("--remats", default="matmul_only,full",
+                    help="comma list of remat policies to probe")
     args = ap.parse_args()
 
     if not args.probe:
@@ -173,6 +180,8 @@ def main():
     # activations -> shallow ceiling) and full (recompute everything ->
     # deepest single-chip depth). The deepest-depth row is the extrapolation
     # anchor; the matmul_only row is the per-layer-throughput anchor.
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench_path = os.path.join(here, "TRAIN_BENCH.json")
     out = {
         "note": "720p edit batch=1 (7.2k tokens), bf16 params, one v5e "
                 "chip; measured = deepest HBM-feasible depth per (step "
@@ -180,16 +189,24 @@ def main():
                 "time (extrapolation_error in BENCH_DETAIL.json calibrates "
                 "this model on the serving path)",
     }
-    for remat, tag in (("matmul_only", "mm"), ("full", "full_remat")):
+    if args.only and os.path.exists(bench_path):
+        with open(bench_path) as f:
+            out.update(json.load(f))
+    remat_tags = [(r, {"matmul_only": "mm", "full": "full_remat"}[r])
+                  for r in args.remats.split(",")]
+    for remat, tag in remat_tags:
         # full step: ~3.7 GB/layer of param+moment state -> ceiling is low
-        full = _probe_deepest(lambda n: _measure_full(n, remat), (4, 3, 2))
+        full = (None if args.only not in (None, "full") else
+                _probe_deepest(lambda n: _measure_full(n, remat), (4, 3, 2)))
         # LoRA step: frozen bf16 params dominate (~0.72 GB/layer)
-        lora = _probe_deepest(lambda n: _measure_lora(n, remat),
-                              (16, 12, 8, 4, 2))
+        lora = (None if args.only not in (None, "lora") else
+                _probe_deepest(lambda n: _measure_lora(n, remat),
+                               (16, 12, 8, 4, 2)))
         # QLoRA step: frozen w4a8 base (~0.23 GB/layer) — full depth is the
         # expected landing point (round 5, VERDICT r4 #4)
-        qlora = _probe_deepest(lambda n: _measure_qlora(n, remat),
-                               (40, 36, 32, 24, 16))
+        qlora = (None if args.only not in (None, "qlora") else
+                 _probe_deepest(lambda n: _measure_qlora(n, remat),
+                                (40, 36, 32, 24, 16)))
         if qlora:
             out[f"qlora_step_{tag}"] = {
                 "layers": qlora[0], "step_s_1chip": round(qlora[1], 3),
@@ -203,8 +220,7 @@ def main():
             out[f"lora_step_{tag}"] = {
                 "layers": lora[0], "step_s_1chip": round(lora[1], 3),
                 "step_s_40layer_est": round(lora[1] * 40 / lora[0], 3)}
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "TRAIN_BENCH.json"), "w") as f:
+    with open(bench_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps(out))
 

@@ -207,6 +207,51 @@ def group_ab(B, S, H=40, D=128, iters=8, reps=20):
               f"({flops / dt / 1e12:6.1f} TFLOP/s)", flush=True)
 
 
+def qk8_ab(B, S, H=40, D=128, iters=8, reps=20):
+    """A/B the int8-score streamed kernel (round 5) against the bf16 kernel
+    at a streamed shape, scan-chained timing. Includes the XLA-level q/k
+    quantization prep in the qk8 arm — that is what serving pays."""
+    from chronoedit_tpu.ops import flash_attention as fa
+
+    if fa._plan_blocks(S, S, D, 2, fa._BLOCK_Q, fa._BLOCK_KV, None)[2] == 1:
+        print(f"== qk8 A/B: B={B} S={S}: SKIPPED (KV fits resident; the "
+              "int8 kernel covers the streamed path only)", flush=True)
+        return
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, S, H, D), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (B, S, H, D), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (B, S, H, D), jnp.bfloat16)
+    scale = D ** -0.5
+    flops = 4 * B * H * S * S * D
+    print(f"== qk8 A/B: B={B} S={S}", flush=True)
+
+    def timed(qk8, n):
+        fn = fa.flash_attention_qk_int8 if qk8 else flash_attention
+
+        @jax.jit
+        def run(q, k, v):
+            def body(c, _):
+                o = fn(c, k, v, scale=scale)
+                return c + 1e-6, jnp.sum(o.astype(jnp.float32))
+
+            return jnp.sum(jax.lax.scan(body, q, None, length=n)[1])
+
+        for _ in range(2):
+            s = float(run(q, k, v))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s = float(run(q, k, v))
+        assert s == s
+        return (time.perf_counter() - t0) / iters
+
+    for qk8 in (False, True):
+        t_long = timed(qk8, reps)
+        t_short = timed(qk8, reps // 2)
+        dt = (t_long - t_short) / (reps - reps // 2)
+        print(f"qk8={qk8}: {dt * 1e3:7.2f} ms/call "
+              f"({flops / dt / 1e12:6.1f} TFLOP/s)", flush=True)
+
+
 def main():
     import argparse
 
@@ -220,7 +265,15 @@ def main():
                    help="A/B the k-major K layout instead of the block sweep")
     p.add_argument("--group-ab", action="store_true",
                    help="A/B the grouped streamed fetch vs ungrouped")
+    p.add_argument("--qk8-ab", action="store_true",
+                   help="A/B the int8-score streamed kernel vs bf16")
     a = p.parse_args()
+    if a.qk8_ab:
+        if a.shapes in ("edit", "both"):
+            qk8_ab(2, 7200)
+        if a.shapes in ("reasoning", "both"):
+            qk8_ab(2, 28800, iters=3, reps=8)
+        return
     if a.group_ab:
         if a.shapes in ("edit", "both"):
             group_ab(2, 7200)

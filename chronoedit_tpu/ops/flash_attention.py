@@ -812,6 +812,17 @@ def flash_attention_qk_int8(
     Shapes the planner keeps resident in VMEM (short edit sequences) fall
     back to the bf16 resident kernel: its MXU/VPU overlap already runs at
     ~72% of peak and an int8 resident variant has not been swept.
+
+    MEASURED NEGATIVE RESULT on v5e (round 5, tools/tune_attention.py
+    --qk8-ab, scan-chained, 28.8k tokens B=2 H=40 D=128): 126.2 TFLOP/s vs
+    the bf16 kernel's 138.4 — 9% SLOWER. If Mosaic ran the s8 score dots at
+    the MXU's nominal double rate the kernel would land ~+25% (scores are
+    half its FLOPs); the observed -9% is consistent with s8 x s8 -> s32
+    executing at the bf16 rate plus the rank-1 dequant VPU work. (The XLA
+    w8a8 linear path's measured gains come from halved weight HBM traffic,
+    which attention doesn't have.) Kept as a tested, PSNR-gated option
+    (DiTConfig.attn_qk_int8, default OFF) in case a future Mosaic exposes
+    the int8 rate; do not enable for latency on current v5e.
     """
     _check_layout(q)
     b, sq, h, d = q.shape

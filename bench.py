@@ -567,9 +567,15 @@ def bench_e2e_pipeline_s(layers: int = 8, quantize=False,
                          cache_period=cache[1])
     # capacity-squeezed configs tile the VAE (round 5): the mixed recipe's
     # +1.18 GB of upgraded weights put the untiled decode's 1.3 GB fp32
-    # norm temps over the edge (the r5 OOM dump); int4/int4a8/int8 depths
-    # measured fine untiled in r4 and keep the faster untiled VAE
-    if quantize == "int4_a8_mixed" and layers >= 32:
+    # norm temps over the edge (the r5 OOM dump); shallower quantized depths
+    # measured fine untiled in r4 and keep the faster untiled VAE.
+    # int8 >= 24 layers (VERDICT r4 #5): the r5 diag pinned the 24-layer
+    # int8 OOM to the SAME cause — 12.7 GB of int8 arguments leave only
+    # ~3 GB of temp headroom and the untiled decode wants 5.3 GB (two
+    # 1.77 GB fp32 square temps, vae.py:113) — not to any DiT relayout,
+    # so the split-half repacking port the verdict guessed at is moot.
+    if (quantize == "int4_a8_mixed" and layers >= 32) or (
+            quantize in (True, "int8") and layers >= 24):
         cfg = dc.replace(cfg, vae_spatial_tiles=4)
     if quantize:
         mode = quantize if isinstance(quantize, str) else "int8"
@@ -876,6 +882,21 @@ def _wire_bound_field() -> float | None:
         return None
 
 
+def _train_bench_fields() -> dict | None:
+    """Headline training rows from the committed tools/bench_train.py
+    artifact (TRAIN_BENCH.json), measured offline on the real chip — the
+    driver-captured line carries the train numbers too (VERDICT r4 #4).
+    Training is not re-measured inside the serving bench's budget."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "TRAIN_BENCH.json")) as f:
+            tb = json.load(f)
+    except Exception:  # noqa: BLE001 - optional artifact
+        return None
+    rows = {k: v for k, v in tb.items() if k != "note"}
+    return rows or None
+
+
 def _assemble(partial: dict) -> dict:
     """Build the one-line JSON from whatever has been measured.  Usable both
     on the happy path (everything present) and from the SIGALRM emitter."""
@@ -1142,6 +1163,8 @@ def _assemble(partial: dict) -> dict:
         # estimates above are conservative. Does not validate the ICI
         # bandwidth constant itself (v5e hardware spec).
         "wire_model_error": _wire_bound_field(),
+        # measured training rows (offline artifact, see _train_bench_fields)
+        "train": _train_bench_fields(),
         "elapsed_s": round(time.monotonic() - _T0, 1),
         "assumptions": (
             f"ICI {ICI_BW_PER_CHIP/1e9:.0f} GB/s per chip applied to "

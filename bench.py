@@ -506,6 +506,10 @@ def _qspec(mode: str) -> dict:
         from chronoedit_tpu.ops.quant import INT4_MIXED_UPGRADE
 
         return {"mode": "int4_a8", "upgrade": INT4_MIXED_UPGRADE}
+    if mode == "int4_a8_mixed2":
+        from chronoedit_tpu.ops.quant import INT4_MIXED2_UPGRADE
+
+        return {"mode": "int4_a8", "upgrade": INT4_MIXED2_UPGRADE}
     return {"mode": mode}
 
 
@@ -618,6 +622,7 @@ def bench_e2e_pipeline_s(layers: int = 8, quantize=False,
     # 1.77 GB fp32 square temps, vae.py:113) — not to any DiT relayout,
     # so the split-half repacking port the verdict guessed at is moot.
     if (quantize == "int4_a8_mixed" and layers >= 32) or (
+            quantize == "int4_a8_mixed2" and layers >= 24) or (
             quantize in (True, "int8") and layers >= 24):
         cfg = dc.replace(cfg, vae_spatial_tiles=4)
     if quantize:
@@ -834,7 +839,8 @@ def bench_e2e_int4_full(mode: str = "int4") -> dict | None:
     test_int4_a8_pipeline_psnr_gate. Feasibility persists to
     bench_cache.json like the int8 probe."""
     cache_key = {"int4": "int4_e2e_40", "int4_a8": "int4a8_e2e_40",
-                 "int4_a8_mixed": "int4a8mix_e2e_40"}[mode]
+                 "int4_a8_mixed": "int4a8mix_e2e_40",
+                 "int4_a8_mixed2": "int4a8mix2_e2e_40"}[mode]
     hist = _feasibility_entry(cache_key)
     if hist.get("infeasible"):
         print(f"[bench] cached: {mode} 40-layer e2e infeasible at this "

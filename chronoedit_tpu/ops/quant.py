@@ -381,6 +381,19 @@ INT4_MIXED_UPGRADE = (
     ("cross_attn", "v_img"), ("cross_attn", "v"), ("self_attn", "o"),
 )
 
+# Round-5 fidelity recipe over the 35 dB BASELINE bar: the next rungs of the
+# measured greedy MSE-per-byte ladder (tools/exp_quant_sensitivity.py
+# int4_a8: v_img 39.3 dB alone / v 35.0 / cross.o 35.8 / self.o 38.6 /
+# fc2 36.5 — Q/K stay insensitive at 72–114 dB). +3.12 GB at 14B x 40 over
+# pure w4a8 (~12.3 GB total weights — inside the proven 12.7 GB single-chip
+# envelope with the tiled VAE); tiny-pipe gate measures 35.7 dB vs the
+# additivity model's 37.6 prediction (tests/test_quant.py
+# ::test_int4_a8_mixed2_pipeline_psnr_gate).
+INT4_MIXED2_UPGRADE = (
+    ("cross_attn", "v_img"), ("cross_attn", "v"), ("cross_attn", "o"),
+    ("self_attn", "o"), ("ffn", "fc2"),
+)
+
 
 def quantize_dit_params(params: Params,
                         skip: tuple[tuple[str, str], ...] = (),

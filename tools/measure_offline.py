@@ -66,6 +66,19 @@ def stage_mixed() -> None:
     _patch_detail(fields)
 
 
+def stage_mixed2() -> None:
+    """Round-5 over-the-bar recipe: w4a8 + INT4_MIXED2_UPGRADE (35.7 dB
+    tiny-pipe gate vs the 35 dB BASELINE bar), ~12.3 GB of weights."""
+    res = bench.bench_e2e_int4_full(mode="int4_a8_mixed2")
+    bench._save_cache()
+    bench._release_device_memory()
+    fields = {"e2e_measured_s_1chip_40layer_mixed2":
+              res and round(res["measured_s"], 3),
+              "est_edits_per_s_v5e8_mixed2_replicated":
+              res and round(N / res["measured_s"], 3)}
+    _patch_detail(fields)
+
+
 def stage_int4a8() -> None:
     res = bench.bench_e2e_int4_full(mode="int4_a8")
     bench._save_cache()
@@ -120,8 +133,8 @@ def stage_shallow_calib() -> None:
         None if full40 is None else round(full40 / pred, 3)})
 
 
-STAGES = {"mixed": stage_mixed, "int4a8": stage_int4a8,
-          "int4_cached": stage_int4_cached,
+STAGES = {"mixed": stage_mixed, "mixed2": stage_mixed2,
+          "int4a8": stage_int4a8, "int4_cached": stage_int4_cached,
           "shallow_calib": stage_shallow_calib}
 
 

@@ -170,6 +170,7 @@ _HEADLINE_FIELDS = (
     "e2e_measured_s_1chip_40layer_int4a8_blockcache",
     "e2e_measured_s_1chip_40layer_mixed",
     "e2e_measured_s_1chip_40layer_mixed_blockcache",
+    "e2e_measured_s_1chip_40layer_mixed2",
     "est_edits_per_s_v5e8_int4a8_cached_replicated",
     "e2e_measured_s_1chip_int8",
     "e2e_measured_int8_layers",
